@@ -1,0 +1,164 @@
+"""The CDC batch-apply plan — the heart of the engine (SURVEY.md §3.4).
+
+Per micro-batch: normalize payload (P8-style expressions, no per-row Python) →
+max-LSN dedup per (conv_id, turn_idx) → MERGE into the current table state.
+
+Dedup strategies (all semantically identical; tests assert equality):
+
+- ``window``  — the literal north-star shape: ``row_number() over (partition by
+  conv_id, turn_idx order by lsn desc) = 1``.  One full shuffle of every row of
+  the batch; a hot conversation key lands on one task.
+- ``agg``     — ``groupBy(key).agg(max_by(payload, lsn))``.  Same answer, but
+  Catalyst plans it as partial + final hash aggregation, so the hot key is
+  combined map-side before the shuffle.  This is the scale-default.
+- ``salted``  — the explicit two-phase version of ``agg`` for when the payload
+  is too wide for map-side combine to help (wide rows blow the hash-agg memory
+  budget and spill): add ``salt = pmod(xxhash64(lsn), n_salts)``, take the
+  per-(key, salt) winner, then the global per-key winner.  Winner is global,
+  not per-salt — max is associative, so two-phase max_by is exact.
+
+At 100 TB: the batch is the small side; dedup is the only full shuffle of the
+batch and it shrinks the batch to ≤ |keys| rows *before* the MERGE join, so the
+expensive join never sees duplicate keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from magneto_matcher_spark.functions.cleaning import null_normalize_expr
+from magneto_matcher_spark.schemas import TRANSCRIPT_KEY
+
+
+def normalize_payload(batch: DataFrame) -> DataFrame:
+    """Payload normalization, expression-only (north rule: "Arrow-vectorized
+    pandas UDFs for payload normalization — no per-row Python"; pure Catalyst
+    expressions are the even-faster path and used wherever the semantics fit,
+    per SURVEY.md §2.2 P8).
+
+    - domain-null strings in ``tool`` / ``role`` → NULL (P5)
+    - ``text`` trailing/leading whitespace trimmed
+    - key columns cast to canonical types
+    """
+    cols = {f.name for f in batch.schema.fields}
+    out = batch
+    if "tool" in cols:
+        out = out.withColumn("tool", null_normalize_expr(F.col("tool")))
+    if "role" in cols:
+        out = out.withColumn("role", F.lower(F.trim(F.col("role"))))
+    if "text" in cols:
+        out = out.withColumn("text", F.trim(F.col("text")))
+    out = out.withColumn("turn_idx", F.col("turn_idx").cast("int")).withColumn(
+        "lsn", F.col("lsn").cast("long")
+    )
+    return out
+
+
+def dedup_max_lsn(
+    batch: DataFrame,
+    key: list[str] | None = None,
+    lsn_col: str = "lsn",
+    strategy: str = "agg",
+    n_salts: int = 32,
+) -> DataFrame:
+    """W4 (SURVEY.md §2.5): keep only the max-LSN event per key.
+
+    Returns a DataFrame with the same schema as ``batch``, ≤ one row per key.
+    """
+    key = key or TRANSCRIPT_KEY
+    if strategy == "window":
+        w = Window.partitionBy(*key).orderBy(F.col(lsn_col).desc())
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    payload_cols = [c for c in batch.columns]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+
+    if strategy == "agg":
+        won = batch.groupBy(*key).agg(F.max_by(payload, F.col(lsn_col)).alias("_w"))
+        return won.select([F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+    if strategy == "salted":
+        # phase 1: per-(key, salt) winner — salt spreads a hot key's rows over
+        # n_salts reducers; phase 2: global winner per key. Exact because max
+        # is associative (SURVEY.md §4 custom-work item 2).
+        salted = batch.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(n_salts))
+        )
+        phase1 = (
+            salted.repartition(*[F.col(c) for c in key + ["_salt"]])
+            .groupBy(*key, "_salt")
+            .agg(F.max_by(payload, F.col(lsn_col)).alias("_w"), F.max(lsn_col).alias("_l"))
+        )
+        phase2 = phase1.groupBy(*key).agg(F.max_by(F.col("_w"), F.col("_l")).alias("_w"))
+        return phase2.select([F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+    raise ValueError(f"unknown dedup strategy: {strategy}")
+
+
+def merge_into_frame(
+    target: DataFrame,
+    winners: DataFrame,
+    key: list[str] | None = None,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """J6: MERGE semantics over plain DataFrames (no storage layer).
+
+        MERGE INTO target t USING winners s ON <key>
+        WHEN MATCHED AND s.op = 'D' AND s.lsn > t.lsn THEN DELETE
+        WHEN MATCHED AND s.lsn > t.lsn THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+
+    ``target`` carries the transcripts columns + ``lsn`` (the LSN that wrote
+    each row) so replay is idempotent: a batch whose winner LSN ≤ the stored
+    LSN is a no-op.  ``winners`` must already be deduped (≤ 1 row per key).
+
+    Implemented as one full-outer join on the key.  The physical scale story
+    lives in the lake layer (bucket-pruned copy-on-write, sources/lake.py);
+    this frame-level version is the semantics kernel and the Phase-1 slice.
+    """
+    key = key or TRANSCRIPT_KEY
+    data_cols = [c for c in target.columns if c not in key]
+
+    t = target.alias("t")
+    s = winners.alias("s")
+    joined = t.join(s, on=key, how="full_outer")
+
+    s_lsn, t_lsn = F.col(f"s.{lsn_col}"), F.col(f"t.{lsn_col}")
+    s_op = F.col(f"s.{op_col}")
+    s_present = s_lsn.isNotNull()
+    t_present = t_lsn.isNotNull()
+    s_wins = s_present & (~t_present | (s_lsn > t_lsn))
+
+    # row survives unless the winning side is a delete
+    keep = F.when(s_wins, s_op != F.lit("D")).otherwise(t_present)
+
+    picked = [
+        F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in data_cols
+    ]
+    return joined.filter(keep).select(*key, *picked)
+
+
+def apply_batch_to_frame(
+    target: DataFrame,
+    batch: DataFrame,
+    key: list[str] | None = None,
+    dedup_strategy: str = "agg",
+) -> DataFrame:
+    """Phase-1 end-to-end slice: normalize → dedup → merge; returns new state."""
+    key = key or TRANSCRIPT_KEY
+    winners = dedup_max_lsn(normalize_payload(batch), key=key, strategy=dedup_strategy)
+    return merge_into_frame(target, winners, key=key)
+
+
+def final_state_view(state: DataFrame) -> DataFrame:
+    """W7: stable output ordering for equality checks — user-facing transcript
+    columns ordered by (conv_id, turn_idx)."""
+    cols = [c for c in state.columns if c not in ("op",)]
+    return state.select(*cols).orderBy("conv_id", "turn_idx")

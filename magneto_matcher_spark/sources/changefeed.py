@@ -1,0 +1,152 @@
+"""Deterministic binlog/WAL-style change-feed generator (FIXTURES.md F1-F3).
+
+Generates the transcripts change feed entirely with Spark expressions over
+``spark.range`` — no driver-side loops, no Python RNG — so the same call
+produces identical bytes at any parallelism and any scale (seed + pure
+``xxhash64`` arithmetic, per FIXTURES.md determinism rules).  This is what
+lets the bench generate ~10^7 events distributively as the sf-scaled proxy of
+the north rule's 10^10-event replay profile.
+
+Semantics of the feed (documented, tested):
+- ``lsn`` = the range index — globally monotone, unique.
+- key = (conv_id, turn_idx); the first event per key (in LSN order) is 'I',
+  later events are 'U' (~90%) or 'D' (~10%).
+- Replay semantics are upsert-like: 'I'/'U' both write the payload, 'D'
+  deletes; the max-LSN event per key decides the final state.  This makes the
+  final state a pure function of the per-key max-LSN winner — the LSN
+  permutation invariance property the pytest suite checks.
+- Zipf-ish skew: a configurable fraction of events lands on conversation 0
+  (the hot key) to exercise salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: base epoch for ts generation (2024-01-01 UTC), seconds.
+_BASE_EPOCH = 1_704_067_200
+
+TOOLS = ["search", "python", "browser"]
+ROLES = ["user", "assistant", "tool"]
+
+
+def _h(seed_tag: int, *cols) -> "F.Column":
+    """Deterministic 64-bit hash with a namespace tag (xxhash64's own seed is
+    fixed at 42; varying the first literal column gives independent streams)."""
+    return F.xxhash64(F.lit(seed_tag), *cols)
+
+
+def generate_change_feed(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = 100,
+    turns_per_conv: int = 20,
+    seed: int = 42,
+    hot_frac: float = 0.0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Build the change feed as a DataFrame with CHANGE_FEED_SCHEMA columns.
+
+    ``hot_frac`` > 0 routes that fraction of events to conv 0 (skew mode,
+    FIXTURES.md F2 "hot-key mode").
+    """
+    rng = spark.range(0, n_events, numPartitions=n_partitions)
+    lsn = F.col("id")
+
+    u_hot = (F.pmod(_h(seed + 1, lsn), F.lit(1_000_000)) / 1_000_000.0)
+    conv_num = F.when(u_hot < F.lit(hot_frac), F.lit(0)).otherwise(
+        F.pmod(_h(seed + 2, lsn), F.lit(n_convs)).cast("int")
+    )
+    turn_idx = F.pmod(_h(seed + 3, lsn), F.lit(turns_per_conv)).cast("int")
+
+    df = rng.select(
+        lsn.alias("lsn"),
+        F.format_string("conv%06d", conv_num).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+    )
+
+    # first event per key is 'I'; later ones 'U'/'D' by hash (~90/10).
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("lsn")
+    occurrence = F.row_number().over(w)
+    op = (
+        F.when(occurrence == 1, F.lit("I"))
+        .when(F.pmod(_h(seed + 4, F.col("lsn")), F.lit(10)) < 1, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]), F.pmod(F.col("turn_idx"), F.lit(3)) + 1
+    )
+    tool_pick = F.pmod(_h(seed + 5, F.col("lsn")), F.lit(4))
+    tool = F.when(tool_pick == 0, F.lit(None).cast("string")).otherwise(
+        F.element_at(F.array(*[F.lit(t) for t in TOOLS]), tool_pick.cast("int"))
+    )
+    text = F.format_string(
+        "turn %d of %s rev%d", F.col("turn_idx"), F.col("conv_id"), F.col("lsn")
+    )
+    ts = F.timestamp_seconds(F.lit(_BASE_EPOCH) + F.col("lsn"))
+
+    return df.select(
+        "lsn",
+        op.alias("op"),
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def with_schema_drift(feed: DataFrame, from_lsn: int) -> DataFrame:
+    """FIXTURES.md F3: from ``from_lsn`` onward the producer renames ``tool`` →
+    ``tool_name`` and adds ``tool_meta`` (JSON-ish) and ``latency_ms``.
+
+    Returns a feed with the union schema; pre-drift rows have the new columns
+    null and keep ``tool``; post-drift rows have ``tool`` null and carry
+    ``tool_name``.  Ground-truth mapping the matcher must recover:
+    ``{tool_name → tool, tool_meta → add, latency_ms → add}``.
+    """
+    drifted = F.col("lsn") >= F.lit(from_lsn)
+    return (
+        feed.withColumn("tool_name", F.when(drifted, F.col("tool")))
+        .withColumn(
+            "tool_meta",
+            F.when(
+                drifted & F.col("tool").isNotNull(),
+                F.format_string('{"tool": "%s", "v": 2}', F.col("tool")),
+            ),
+        )
+        .withColumn(
+            "latency_ms",
+            F.when(
+                drifted, F.pmod(F.xxhash64(F.lit(77), F.col("lsn")), F.lit(5000)).cast("int")
+            ),
+        )
+        .withColumn("tool", F.when(~drifted, F.col("tool")))
+    )
+
+
+def write_change_files(
+    feed: DataFrame, out_dir: str, n_batches: int, lsn_col: str = "lsn"
+) -> list[str]:
+    """Split the feed into ``n_batches`` contiguous LSN ranges, one parquet
+    directory per batch (``batch_00000`` …) — the on-disk shape both the
+    Structured Streaming file source and the batch replay driver consume.
+    Returns the batch directory paths in LSN order.
+    """
+    bounds = feed.select(
+        F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo + 1 + n_batches - 1) // n_batches
+    paths = []
+    for b in range(n_batches):
+        start, end = lo + b * span, lo + (b + 1) * span
+        path = f"{out_dir}/batch_{b:05d}"
+        feed.filter((F.col(lsn_col) >= start) & (F.col(lsn_col) < end)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        paths.append(path)
+    return paths

@@ -1,0 +1,469 @@
+"""Iceberg-semantics lake table over Parquet + JSON snapshot log.
+
+No Iceberg runtime jar is reachable in this sandbox (no network), so this is a
+thin, format-faithful re-implementation of the Iceberg *semantics* the engine
+needs (SURVEY.md §7 Phase 2); the class is the seam where a real Iceberg
+catalog plugs in unchanged:
+
+- **snapshot log** — ``metadata/v{n}.json`` holds schemas (with field IDs),
+  the partition spec, and the snapshot list; ``metadata/version-hint.text``
+  is the current-version pointer, committed by atomic ``os.replace`` (the
+  single-writer commit protocol; documented assumption, like Iceberg's
+  HadoopCatalog).
+- **schema evolution by field ID** — renames keep the field ID; adds mint a
+  new one.  Old data files are never rewritten: the read path maps each file
+  group's columns to the current schema by field ID and fills missing fields
+  with typed nulls.
+- **partition spec** — ``bucket(conv_id, N)`` via ``pmod(xxhash64(conv_id), N)``.
+  MERGE prunes to the buckets the batch touches and rewrites only those
+  (bucket-pruned copy-on-write emulating merge-on-read equality-delete
+  visibility: a key matched by the batch is invisible in the old file because
+  the rewritten bucket replaces it atomically at commit).
+- **snapshot summary** — free-form string map, used by the CDC engine to stamp
+  consumed offset ranges + per-partition lineage (exactly-once, SURVEY §2.13).
+- **time travel** — ``read(snapshot_id=...)`` reads any historical snapshot's
+  manifest under its own schema mapping.
+
+Scale notes (100 TB): the manifest is a per-snapshot file *list* grouped by
+bucket, so MERGE planning is O(files) metadata work on the driver with zero
+data read for untouched buckets; data movement is bounded by the touched
+buckets, which for a key-bucketed table is the theoretical minimum for
+copy-on-write.  Untouched-file reuse means snapshots share files (no
+duplication), like Iceberg manifests.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- type (de)serialization -------------------------------------------------
+
+_SIMPLE_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _type_to_str(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+def _str_to_type(s: str) -> T.DataType:
+    if s in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[s]
+    # array<...>, map<...>, decimal(...) etc. — Spark parses its own simpleString
+    return T._parse_datatype_string(s)  # noqa: SLF001
+
+
+def bucket_expr(col: str, n_buckets: int) -> F.Column:
+    """Stable bucket transform: pmod(xxhash64(col), n). Deterministic across
+    sessions and partitionings."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """A key-bucketed, snapshot-versioned table (single writer)."""
+
+    def __init__(self, spark: SparkSession, root: str, meta: dict):
+        self.spark = spark
+        self.root = root
+        self.meta = meta
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key: list[str],
+        n_buckets: int = 16,
+        bucket_col: str | None = None,
+        lsn_col: str = "lsn",
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": _type_to_str(f.dataType)}
+            for i, f in enumerate(schema.fields)
+        ]
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "version": 0,
+            "last_field_id": len(fields),
+            "schemas": [{"schema_id": 0, "fields": fields}],
+            "current_schema_id": 0,
+            "partition_spec": {
+                "transform": "bucket",
+                "source": bucket_col or key[0],
+                "n_buckets": n_buckets,
+            },
+            "key": key,
+            "lsn_column": lsn_col,
+            "snapshots": [],
+            "current_snapshot_id": None,
+        }
+        table = cls(spark, root, meta)
+        table._write_metadata()
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        hint = os.path.join(root, "metadata", "version-hint.text")
+        with open(hint) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(root, "metadata", f"v{version}.json")) as fh:
+            meta = json.load(fh)
+        return cls(spark, root, meta)
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "metadata", "version-hint.text"))
+
+    def _write_metadata(self) -> None:
+        version = self.meta["version"]
+        meta_dir = os.path.join(self.root, "metadata")
+        path = os.path.join(meta_dir, f"v{version}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.meta, fh, indent=1)
+        os.replace(tmp, path)
+        hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+    # ---------------- schema accessors ----------------
+
+    def _schema_by_id(self, schema_id: int) -> dict:
+        for s in self.meta["schemas"]:
+            if s["schema_id"] == schema_id:
+                return s
+        raise KeyError(f"schema {schema_id} not found")
+
+    @property
+    def current_schema_meta(self) -> dict:
+        return self._schema_by_id(self.meta["current_schema_id"])
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f["name"], _str_to_type(f["type"]), True)
+                for f in self.current_schema_meta["fields"]
+            ]
+        )
+
+    @property
+    def column_names(self) -> list[str]:
+        return [f["name"] for f in self.current_schema_meta["fields"]]
+
+    @property
+    def key(self) -> list[str]:
+        return list(self.meta["key"])
+
+    @property
+    def lsn_col(self) -> str:
+        return self.meta["lsn_column"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.meta["partition_spec"]["n_buckets"]
+
+    @property
+    def bucket_source(self) -> str:
+        return self.meta["partition_spec"]["source"]
+
+    # ---------------- snapshots ----------------
+
+    def snapshots(self) -> list[dict]:
+        return self.meta["snapshots"]
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} missing")
+
+    def summary(self, snapshot_id: int | None = None) -> dict:
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self._snapshot_by_id(snapshot_id)
+        )
+        return dict(snap["summary"]) if snap else {}
+
+    def _snapshot_by_id(self, snapshot_id: int) -> dict:
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found")
+
+    def committed_offset_end(self) -> int:
+        """Max committed 'offsets.end' across the snapshot chain — the
+        exactly-once watermark the CDC engine consults on restart."""
+        best = -1
+        for s in self.meta["snapshots"]:
+            end = s["summary"].get("offsets.end")
+            if end is not None:
+                best = max(best, int(end))
+        return best
+
+    # ---------------- read path ----------------
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self._snapshot_by_id(snapshot_id)
+        )
+        read_schema_id = (
+            self.meta["current_schema_id"] if snapshot_id is None else snap["schema_id"]
+        )
+        if snap is None or not snap["manifest"]:
+            return self.spark.createDataFrame(
+                [], self._schema_for(read_schema_id)
+            )
+        return self._read_manifest(snap["manifest"], read_schema_id)
+
+    def _schema_for(self, schema_id: int) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f["name"], _str_to_type(f["type"]), True)
+                for f in self._schema_by_id(schema_id)["fields"]
+            ]
+        )
+
+    def _read_manifest(self, manifest: list[dict], read_schema_id: int) -> DataFrame:
+        target_fields = self._schema_by_id(read_schema_id)["fields"]
+        by_schema: dict[int, list[str]] = {}
+        for entry in manifest:
+            by_schema.setdefault(entry["schema_id"], []).append(
+                os.path.join(self.root, entry["path"])
+            )
+        parts: list[DataFrame] = []
+        for schema_id, paths in by_schema.items():
+            file_fields = self._schema_by_id(schema_id)["fields"]
+            by_field_id = {f["id"]: f["name"] for f in file_fields}
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for tf in target_fields:
+                src_name = by_field_id.get(tf["id"])
+                if src_name is not None:
+                    cols.append(
+                        F.col(src_name).cast(_str_to_type(tf["type"])).alias(tf["name"])
+                    )
+                else:
+                    cols.append(
+                        F.lit(None).cast(_str_to_type(tf["type"])).alias(tf["name"])
+                    )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_buckets(self, buckets: list[int], snapshot_id: int | None = None) -> DataFrame:
+        """Bucket-pruned scan: only files whose partition bucket ∈ ``buckets``."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self._snapshot_by_id(snapshot_id)
+        )
+        read_schema_id = (
+            self.meta["current_schema_id"] if snapshot_id is None else snap["schema_id"]
+        )
+        wanted = set(buckets)
+        manifest = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in wanted]
+        if not manifest:
+            return self.spark.createDataFrame([], self._schema_for(read_schema_id))
+        return self._read_manifest(manifest, read_schema_id)
+
+    # ---------------- write path ----------------
+
+    def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+        """Write ``df`` (current schema + ``_bucket``) partitioned by bucket
+        under ``data/snap-{id}/``; return manifest entries."""
+        rel_dir = f"data/snap-{snapshot_id}"
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            df.repartition(F.col("_bucket"))
+            .sortWithinPartitions(*self.key)  # W7: file-level determinism
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        import pyarrow.parquet as pq
+
+        entries = []
+        for path in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
+            bucket = int(path.split("_bucket=")[1].split(os.sep)[0])
+            rows = pq.ParquetFile(path).metadata.num_rows
+            entries.append(
+                {
+                    "path": os.path.relpath(path, self.root),
+                    "bucket": bucket,
+                    "schema_id": self.meta["current_schema_id"],
+                    "rows": rows,
+                }
+            )
+        return entries
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_bucket", bucket_expr(self.bucket_source, self.n_buckets)
+        )
+
+    def _next_snapshot_id(self) -> int:
+        return len(self.meta["snapshots"]) + 1
+
+    def _commit(
+        self,
+        operation: str,
+        manifest: list[dict],
+        summary: dict,
+        schema_id: int | None = None,
+    ) -> int:
+        snapshot_id = self._next_snapshot_id()
+        snap = {
+            "snapshot_id": snapshot_id,
+            "parent_id": self.meta["current_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "schema_id": (
+                schema_id if schema_id is not None else self.meta["current_schema_id"]
+            ),
+            "summary": {k: str(v) for k, v in summary.items()},
+            "manifest": manifest,
+        }
+        self.meta["snapshots"].append(snap)
+        self.meta["current_snapshot_id"] = snapshot_id
+        self.meta["version"] += 1
+        self._write_metadata()
+        return snapshot_id
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Append rows (no key dedup). df must carry the current columns."""
+        snapshot_id = self._next_snapshot_id()
+        aligned = df.select(*self.column_names)
+        new_entries = self._write_data_files(self._with_bucket(aligned), snapshot_id)
+        cur = self.current_snapshot()
+        manifest = (list(cur["manifest"]) if cur else []) + new_entries
+        s = {"rows-appended": sum(e["rows"] for e in new_entries)}
+        s.update(summary or {})
+        return self._commit("append", manifest, s)
+
+    def merge(
+        self,
+        winners: DataFrame,
+        summary: dict | None = None,
+        op_col: str = "op",
+    ) -> int:
+        """J6: key-partition-pruned MERGE (SURVEY §2.3).
+
+        ``winners`` = the deduped batch (≤1 row per key) with ``op`` column and
+        the current payload columns.  Semantics::
+
+            WHEN MATCHED AND s.op='D' AND s.lsn > t.lsn THEN DELETE
+            WHEN MATCHED AND s.lsn > t.lsn              THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op != 'D'            THEN INSERT *
+
+        Physical plan: bucket the batch, prune the manifest to touched buckets,
+        full-outer-join ONLY those buckets' rows with the batch, rewrite those
+        buckets, keep every untouched file by reference.
+        """
+        from magneto_matcher_spark.plans.apply import merge_into_frame
+
+        snapshot_id = self._next_snapshot_id()
+        cols = self.column_names
+        lsn_col = self.lsn_col
+
+        batch = self._with_bucket(winners.select(*cols, op_col))
+        touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
+
+        cur = self.current_snapshot()
+        old_manifest = list(cur["manifest"]) if cur else []
+        kept = [e for e in old_manifest if e["bucket"] not in set(touched)]
+
+        target = self.read_buckets(touched)
+        merged = merge_into_frame(
+            target,
+            batch.drop("_bucket"),
+            key=self.key,
+            lsn_col=lsn_col,
+            op_col=op_col,
+        ).select(*cols)
+
+        new_entries = self._write_data_files(self._with_bucket(merged), snapshot_id)
+        s = {
+            "buckets-rewritten": len(touched),
+            "files-kept": len(kept),
+            "rows-written": sum(e["rows"] for e in new_entries),
+        }
+        s.update(summary or {})
+        return self._commit("merge", kept + new_entries, s)
+
+    # ---------------- schema evolution ----------------
+
+    def evolve(
+        self,
+        renames: dict[str, str] | None = None,
+        adds: list[tuple[str, str]] | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Schema evolution by field ID — renames keep the ID (old files keep
+        serving the column under its old on-disk name), adds mint new IDs (old
+        files serve NULL).  No data rewrite (Iceberg evolve semantics)."""
+        renames = renames or {}
+        adds = adds or []
+        cur_fields = self.current_schema_meta["fields"]
+        names = {f["name"] for f in cur_fields}
+        for old in renames:
+            if old not in names:
+                raise KeyError(f"rename source {old!r} not in schema")
+        for name, _ in adds:
+            if name in names or name in renames.values():
+                raise ValueError(f"add target {name!r} already exists")
+
+        new_fields = [
+            {**f, "name": renames.get(f["name"], f["name"])} for f in cur_fields
+        ]
+        last_id = self.meta["last_field_id"]
+        for name, type_str in adds:
+            last_id += 1
+            _ = _str_to_type(type_str)  # validate
+            new_fields.append({"id": last_id, "name": name, "type": type_str})
+
+        new_schema_id = max(s["schema_id"] for s in self.meta["schemas"]) + 1
+        self.meta["schemas"].append({"schema_id": new_schema_id, "fields": new_fields})
+        self.meta["current_schema_id"] = new_schema_id
+        self.meta["last_field_id"] = last_id
+
+        cur = self.current_snapshot()
+        manifest = list(cur["manifest"]) if cur else []
+        s = {
+            "schema-renames": json.dumps(renames),
+            "schema-adds": json.dumps([list(a) for a in adds]),
+        }
+        s.update(summary or {})
+        return self._commit("evolve", manifest, s, schema_id=new_schema_id)
