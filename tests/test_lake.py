@@ -1,0 +1,158 @@
+"""Iceberg-semantics lake layer tests (SURVEY.md §7 Phase 2)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from magneto_matcher_spark.plans.apply import dedup_max_lsn
+from magneto_matcher_spark.schemas import CHANGE_FEED_SCHEMA, TRANSCRIPT_KEY
+from magneto_matcher_spark.sources.lake import LakeTable, bucket_expr
+
+TABLE_SCHEMA = T.StructType([f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"])
+
+
+def _ev(lsn, op, conv, turn, text="x", tool=None):
+    return (
+        lsn, op, conv, turn, "user", text, tool,
+        datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), TABLE_SCHEMA, key=TRANSCRIPT_KEY, n_buckets=4
+    )
+
+
+def test_create_load_roundtrip(spark, tmp_path, table):
+    t2 = LakeTable.load(spark, table.root)
+    assert t2.column_names == table.column_names
+    assert t2.key == TRANSCRIPT_KEY
+    assert t2.read().count() == 0
+
+
+def test_append_and_read(spark, table):
+    df = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0), _ev(2, "I", "c2", 0)], CHANGE_FEED_SCHEMA
+    ).drop("op")
+    table.append(df)
+    assert table.read().count() == 2
+    assert table.summary()["rows-appended"] == "2"
+
+
+def test_merge_updates_and_deletes(spark, table):
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, "a"), _ev(2, "I", "c1", 1, "b"), _ev(3, "I", "c2", 0, "c")],
+        CHANGE_FEED_SCHEMA,
+    )
+    table.merge(dedup_max_lsn(b1))
+    b2 = spark.createDataFrame(
+        [_ev(4, "U", "c1", 0, "a2"), _ev(5, "D", "c1", 1, "b")], CHANGE_FEED_SCHEMA
+    )
+    table.merge(dedup_max_lsn(b2))
+    state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert state == {("c1", 0): "a2", ("c2", 0): "c"}
+
+
+def test_merge_stale_lsn_is_noop(spark, table):
+    b1 = spark.createDataFrame([_ev(10, "I", "c1", 0, "new")], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(b1))
+    stale = spark.createDataFrame([_ev(5, "U", "c1", 0, "old")], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(stale))
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new" and rows[0]["lsn"] == 10
+
+
+def test_bucket_pruning_keeps_untouched_files(spark, table):
+    # seed all 4 buckets with many convs
+    b1 = spark.createDataFrame(
+        [_ev(i, "I", f"conv{i}", 0) for i in range(40)], CHANGE_FEED_SCHEMA
+    )
+    table.merge(dedup_max_lsn(b1))
+    # one-key batch: only that key's bucket should be rewritten
+    b2 = spark.createDataFrame([_ev(100, "U", "conv7", 0, "upd")], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(b2))
+    summ = table.summary()
+    assert summ["buckets-rewritten"] == "1"
+    assert int(summ["files-kept"]) >= 3
+    assert table.read().filter(F.col("text") == "upd").count() == 1
+    assert table.read().count() == 40
+
+
+def test_time_travel(spark, table):
+    b1 = spark.createDataFrame([_ev(1, "I", "c1", 0, "v1")], CHANGE_FEED_SCHEMA)
+    s1 = table.merge(dedup_max_lsn(b1))
+    b2 = spark.createDataFrame([_ev(2, "U", "c1", 0, "v2")], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(b2))
+    assert table.read(snapshot_id=s1).collect()[0]["text"] == "v1"
+    assert table.read().collect()[0]["text"] == "v2"
+
+
+def test_evolve_rename_add_no_rewrite(spark, table):
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, tool="search")], CHANGE_FEED_SCHEMA
+    )
+    table.merge(dedup_max_lsn(b1))
+    files_before = {e["path"] for e in table.current_snapshot()["manifest"]}
+    table.evolve(renames={"tool": "tool_name"}, adds=[("latency_ms", "int")])
+    files_after = {e["path"] for e in table.current_snapshot()["manifest"]}
+    assert files_before == files_after  # no data rewrite
+    row = table.read().collect()[0]
+    assert row["tool_name"] == "search"
+    assert row["latency_ms"] is None
+
+
+def test_evolve_then_merge_mixed_schemas(spark, table):
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, tool="search")], CHANGE_FEED_SCHEMA
+    )
+    table.merge(dedup_max_lsn(b1))
+    table.evolve(renames={"tool": "tool_name"}, adds=[("latency_ms", "int")])
+    new_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool_name", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("latency_ms", T.IntegerType()),
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [(5, "I", "c2", 0, "user", "y", "python",
+          datetime.datetime(2024, 1, 1), 120)],
+        new_schema,
+    )
+    table.merge(dedup_max_lsn(b2))
+    state = {r["conv_id"]: r for r in table.read().collect()}
+    assert state["c1"]["tool_name"] == "search" and state["c1"]["latency_ms"] is None
+    assert state["c2"]["tool_name"] == "python" and state["c2"]["latency_ms"] == 120
+
+
+def test_evolve_rejects_bad_ops(table):
+    with pytest.raises(KeyError):
+        table.evolve(renames={"nope": "x"})
+    with pytest.raises(ValueError):
+        table.evolve(adds=[("text", "string")])
+
+
+def test_committed_offset_watermark(spark, table):
+    assert table.committed_offset_end() == -1
+    b1 = spark.createDataFrame([_ev(1, "I", "c1", 0)], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(b1), summary={"offsets.start": 0, "offsets.end": 9})
+    b2 = spark.createDataFrame([_ev(11, "I", "c2", 0)], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(b2), summary={"offsets.start": 10, "offsets.end": 19})
+    assert table.committed_offset_end() == 19
+
+
+def test_bucket_expr_deterministic(spark):
+    df = spark.range(100).select(F.format_string("c%d", F.col("id")).alias("conv_id"))
+    a = df.select(bucket_expr("conv_id", 8).alias("b")).collect()
+    b = df.repartition(7).select(bucket_expr("conv_id", 8).alias("b")).collect()
+    assert sorted(r["b"] for r in a) == sorted(r["b"] for r in b)
