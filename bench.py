@@ -1,0 +1,131 @@
+"""Bench harness — one JSON line on stdout (driver contract).
+
+Headline: end-to-end CDC MERGE replay throughput — generate a deterministic
+change feed (seed 42, Zipf-skewed hot keys), split into micro-batches on disk,
+replay through the full engine path (normalize → salted max-LSN dedup →
+bucket-pruned MERGE into the Iceberg-semantics table, snapshot commit with
+offsets) and report applied change-events/sec.  This is the sf-scaled local
+proxy of the north rule's 10^10-event replay profile (BASELINE.md).
+
+Also times representative operator queries from the registry at
+$SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_EVENTS   replay feed size (default 2_000_000)
+  SPARK_GRAFT_BATCHES  micro-batch count (default 5)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "w4_max_lsn_dedup",
+    "cdc_replay_final_state",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "text_lang_id",
+    "magneto_get_matches_f4",
+]
+
+
+def run_cdc_replay(spark, n_events: int, n_batches: int) -> dict:
+    from pyspark.sql import types as T
+
+    from magneto_matcher_spark.schemas import CHANGE_FEED_SCHEMA, TRANSCRIPT_KEY
+    from magneto_matcher_spark.sources.changefeed import (
+        generate_change_feed,
+        write_change_files,
+    )
+    from magneto_matcher_spark.sources.lake import LakeTable
+    from magneto_matcher_spark.streaming.engine import CdcEngine
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        feed = generate_change_feed(
+            spark,
+            n_events,
+            n_convs=max(200, n_events // 2000),
+            turns_per_conv=50,
+            seed=42,
+            hot_frac=0.2,
+            n_partitions=cpus * 2,
+        )
+        paths = write_change_files(feed, f"{tmp}/feed", n_batches)
+
+        schema = T.StructType(
+            [f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"]
+        )
+        table = LakeTable.create(
+            spark, f"{tmp}/lake", schema, key=TRANSCRIPT_KEY, n_buckets=max(cpus, 32)
+        )
+        engine = CdcEngine(table, dedup_strategy="salted", n_salts=cpus)
+
+        t0 = time.time()
+        metrics = engine.replay(paths)
+        dur = time.time() - t0
+        final_rows = int(table.summary().get("rows-written", -1))
+        return {
+            "events": n_events,
+            "batches": n_batches,
+            "duration_s": round(dur, 3),
+            "events_per_sec": round(n_events / dur, 1),
+            "final_rows_last_rewrite": final_rows,
+            "per_batch_events_per_sec": [
+                round(m["events_per_sec"], 1) for m in metrics
+            ],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BATCHES", "5"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from magneto_matcher_spark.queries import build_queries
+    from magneto_matcher_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    headline = run_cdc_replay(spark, n_events, n_batches)
+
+    q_times = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") != "cdc_only":
+        queries = build_queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.count()
+            q_times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "cdc_merge_replay_events_per_sec",
+        "value": headline["events_per_sec"],
+        "unit": "events/sec",
+        "headline": headline,
+        "queries": q_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

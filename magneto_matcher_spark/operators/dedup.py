@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+
+- **exact**: one hash-aggregate on the text (or fingerprint) — partial
+  map-side combine makes this skew-proof; O(data) with one shuffle.
+- **n-gram Jaccard**: exact pairwise similarity — only viable within bounded
+  candidate sets (the verify stage of LSH, or a bounded scan slice) because
+  the pair space is quadratic.
+- **MinHash+LSH**: the 100 TB path.  k seeded xxhash64 min-hashes per doc,
+  banded so that docs agreeing on any band land in the same bucket →
+  candidate pairs only within buckets → Jaccard verify.  Every step is
+  groupBy/join on bounded keys; no cross join anywhere.
+- **SimHash**: 64-bit weighted-token signature; near-dup candidates share at
+  least one of four 16-bit chunks (Hamming ≤ 3 guarantee within chunks-style
+  banding), verified by Hamming distance.
+- **embedding cosine**: semantic near-dup via the kNN kernel
+  (operators/embedding.py) — brute-force (broadcast) baseline and the
+  LSH-bucketed variant as the scale path.
+
+Determinism: all hashes are xxhash64 with literal seeds; no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text. One hash aggregate."""
+    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [text_col, id_col], "left_semi")
+
+
+def shingles_expr(text, n: int = 3):
+    """Word n-gram shingles (distinct) of a text column."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold.  Pair
+    generation is a self-join on the exploded shingle — use only on bounded
+    inputs or post-LSH candidates (see module notes).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return common.select(
+        "a_id",
+        "b_id",
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k seeded min-hashes per doc: sig[i] = min over shingles of
+    xxhash64(i, shingle).  Pure expressions — transform over a literal seed
+    range, no UDF, no shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda g: F.xxhash64(i, g))
+        ),
+    )
+    return sh.filter(F.size("sh") > 0).select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature → band buckets → bucket join →
+    (optional) exact Jaccard verify.  rows = (a_id, b_id[, jaccard])."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    cand = (
+        cand.join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+        .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return cand.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc that near-dups a lower-id doc (single-hop canonicalization;
+    full transitive clustering would need iterative connected components —
+    out of scope and rarely what data pipelines run at scale)."""
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_expr(text, bits: int = 64):
+    """64-bit SimHash: per token, xxhash64 gives its bit pattern; each bit
+    position accumulates +1/−1 by token occurrence; sign → signature bit.
+    Pure expressions (transform/aggregate over the token array)."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    # for each bit b: sum over tokens of (bit set ? 1 : -1) > 0
+    return F.transform(
+        positions,
+        lambda b: (
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.getbit(F.xxhash64(t), b) == 1, 1).otherwise(-1),
+            )
+            > 0
+        ).cast("int"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit chunk banding (two sigs within Hamming
+    ≤ 3 of each other agree on ≥1 chunk by pigeonhole) then Hamming verify."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("bits")
+    )
+    chunks = sigs.select(
+        "id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("bits"), c * 16 + 1, 16),
+                                lambda x: x.cast("string"),
+                            ),
+                            "",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("cb"),
+    ).select("id", "bits", "cb.chunk", "cb.bucket")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.bits").alias("ba"),
+            F.col("b.bits").alias("bb"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(F.zip_with("ba", "bb", lambda x, y: (x != y).cast("int")), lambda v: v == 1)
+    )
+    return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup: each vector's top-k cosine neighbours (exact kNN,
+    broadcast corpus), keep pairs ≥ threshold with a_id < b_id."""
+    from magneto_matcher_spark.operators.embedding import knn_topk
+
+    nn = knn_topk(emb, emb, k=k + 1, query_id=id_col, corpus_id=id_col,
+                  query_vec=vec_col, corpus_vec=vec_col)
+    return (
+        nn.filter(F.col(id_col) < F.col("neighbor_id"))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col(id_col).alias("a_id"),
+            F.col("neighbor_id").alias("b_id"),
+            F.col("score").alias("cosine"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,260 @@
+"""Embedding / similarity operators — E1-E4 (SURVEY.md §2.8) + the engine's
+brute-force kNN kernel (reused by the ANN queries over
+``embeddings.parquet``).
+
+E1 (text → vector): the reference encodes serialized columns with a
+SentenceTransformer (embedding_matcher.py:52-75).  No model weights are
+reachable in this sandbox, so the default provider is a deterministic hashed
+char-n-gram TF vector (the A7 n-gram idea, n=3..8, crc32-hashed into a fixed
+dim, log-TF weighted, L2-normalized) computed in a pure-numpy pandas UDF —
+Arrow-batched, partition-independent, reproducible.  The provider is
+pluggable: a real SentenceTransformer drops into ``embed_text`` unchanged
+when available.
+
+E2 (cosine top-k): the reference does ``normalize → matmul → topk`` on torch
+tensors (utils/embedding_utils.py:4-16).  Spark-first shape: broadcast the
+smaller matrix as numpy, ``mapInPandas`` over the larger side computes the
+block matmul and per-row top-k — each row sees the whole broadcast corpus, so
+the result is EXACT brute-force kNN, distributed over the big side with zero
+shuffle (the only shuffle is the optional final ordering).
+
+At 100 TB scale the corpus no longer fits a broadcast; ``knn_topk_lsh``
+buckets both sides by random-hyperplane SimHash signs so candidates co-locate,
+then scores within buckets — the approximate scale path (multi-probe keeps
+recall reasonable).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 256
+
+
+# --------------------------------------------------------------------------
+# E1: deterministic hashed n-gram embedding provider
+# --------------------------------------------------------------------------
+
+def _hashed_ngram_vector(text: str, dim: int, n_lo: int = 3, n_hi: int = 8) -> np.ndarray:
+    vec = np.zeros(dim, dtype=np.float64)
+    if text:
+        t = text.lower()
+        for n in range(n_lo, n_hi + 1):
+            if len(t) < n:
+                break
+            for i in range(len(t) - n + 1):
+                g = t[i : i + n]
+                vec[zlib.crc32(g.encode("utf-8")) % dim] += 1.0
+    vec = np.log1p(vec)
+    norm = np.linalg.norm(vec)
+    if norm > 0:
+        vec /= norm
+    return vec.astype(np.float32)
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """E1: add an ``array<float>`` embedding column (hashed n-gram provider)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: _hashed_ngram_vector(s or "", dim).tolist())
+
+    return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
+# E2: exact brute-force cosine kNN (broadcast corpus + mapInPandas matmul)
+# --------------------------------------------------------------------------
+
+def cosine_expr(a, b):
+    """SQL-expressible cosine of two array<float/double> columns — the
+    crossJoin strategy (J3a) and the DuckDB-oracle twin of the kernel."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def knn_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """E2: exact top-k cosine neighbours of every query row.
+
+    The corpus (smaller side) is collected to the driver ONCE, L2-normalized,
+    and broadcast; ``mapInPandas`` over the query side computes the block
+    matmul per Arrow batch and keeps the per-row top-k with ``argpartition``.
+    Output: (query_id, neighbor_id, score) — exact, deterministic (ties broken
+    by neighbor id).
+    """
+    spark = queries.sparkSession
+    corpus_rows = corpus.select(corpus_id, corpus_vec).collect()
+    ids = np.array([r[corpus_id] for r in corpus_rows])
+    mat = np.array([r[corpus_vec] for r in corpus_rows], dtype=np.float64)
+    if normalize and mat.size:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    bc = spark.sparkContext.broadcast((ids, mat))
+    kk = min(k, len(ids))
+
+    out_schema = T.StructType(
+        [
+            queries.schema[query_id],
+            T.StructField("neighbor_id", corpus.schema[corpus_id].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if pdf.empty or not len(c_ids):
+                continue
+            q = np.array(pdf[query_vec].tolist(), dtype=np.float64)
+            if normalize:
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                q = q / qn
+            sims = q @ c_mat.T  # (batch, corpus)
+            # top-k with deterministic tie-break by (−score, id)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for r in range(sims.shape[0]):
+                cand = idx[r]
+                order = np.lexsort((c_ids[cand], -sims[r, cand]))
+                for j in cand[order]:
+                    rows.append((pdf[query_id].iloc[r], c_ids[j], float(sims[r, j])))
+            yield pd.DataFrame(rows, columns=[query_id, "neighbor_id", "score"])
+
+    return queries.select(query_id, query_vec).mapInPandas(_score, out_schema)
+
+
+# --------------------------------------------------------------------------
+# scale path: SimHash-bucketed approximate kNN (no broadcast of the corpus)
+# --------------------------------------------------------------------------
+
+def simhash_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """Random-hyperplane SimHash of an array<float> column → array of
+    ``n_tables`` bucket ids (one independent hyperplane set per table).
+    Hyperplanes come from a seeded RNG so every executor agrees."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, dim, n_bits))
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        out = []
+        per_table = []
+        for t in range(n_tables):
+            bits = (m @ planes[t]) > 0
+            per_table.append((bits @ weights).astype(np.int64) + (t << n_bits))
+        stacked = np.stack(per_table, axis=1).astype(np.int32)
+        out = [row.tolist() for row in stacked]
+        return pd.Series(out)
+
+    return _sig
+
+
+def knn_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Approximate kNN: multi-table SimHash-bucket join, exact cosine within
+    buckets, per-query top-k over the deduped candidate union.
+
+    Shuffles both sides once on the bucket key; never broadcasts the corpus —
+    the 1000-executor path for corpora too large for a driver collect.
+    Recall < 1.0 by construction: raise ``n_tables`` (more candidate unions →
+    higher recall, more work) or lower ``n_bits`` (bigger buckets) to trade
+    speed for recall."""
+    sig = simhash_buckets_udf(dim, n_bits, n_tables)
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("bucket", F.explode(sig(F.col("q_vec"))))
+    )
+    c = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("bucket", F.explode(sig(F.col("c_vec"))))
+    )
+    cand = (
+        q.join(c, "bucket")
+        .select("q_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "q_id", "neighbor_id", cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumnRenamed("q_id", query_id)
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 / E4: score normalization + threshold/top-k emit
+# --------------------------------------------------------------------------
+
+def normalize_scores(
+    candidates: DataFrame, partition_col: str = "src_col", score_col: str = "score"
+) -> DataFrame:
+    """E3 (retriever.py:132-142): per-source min-max rescale; constant → 1.0."""
+    w = Window.partitionBy(partition_col)
+    mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
+    return candidates.withColumn(
+        score_col,
+        F.when(mx == mn, F.lit(1.0)).otherwise((F.col(score_col) - mn) / (mx - mn)),
+    )
+
+
+def topk_threshold(
+    scored: DataFrame,
+    k: int,
+    threshold: float,
+    partition_col: str = "src_col",
+    order_col: str = "tgt_col",
+    score_col: str = "score",
+) -> DataFrame:
+    """E4/W1: per-partition top-k by score (deterministic tie-break) with a
+    floor threshold (embedding_matcher.py:94-107)."""
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(score_col).desc(), F.col(order_col)
+    )
+    return (
+        scored.filter(F.col(score_col) >= threshold)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,189 @@
+"""SA1-SA6 sampling operators (SURVEY.md §2.6) — column → ≤n representative
+values, as ONE generic grouped-count → scored → top-n pattern.
+
+Reference: ``get_samples`` (algorithms/magneto/magneto/utils/utils.py:212-308),
+``fibonacci_hash`` (utils.py:207-209).  All reference randomness is replaced by
+seeded ``xxhash64`` arithmetic so every mode is deterministic at any
+parallelism (FIXTURES.md determinism rules).  Documented divergences:
+
+- mmh3 is unavailable → the value hash is ``xxhash64(value)`` (still a stable
+  64-bit hash; the fibonacci golden-ratio scrambling is kept).
+- 'random' uses seeded hash-order sampling instead of ``np.random.choice``
+  (reproducible, partition-independent).
+- 'mixed' strides over *sorted* uniques; the reference strides over uniques in
+  first-seen row order, which is partition-order-dependent — unreproducible in
+  a distributed setting by construction.
+- 'weighted' uses A-Res weighted reservoir keys (-log(u)/w) with hashed u.
+
+Per the reference: if a column has ≤ n uniques, all are returned; 'random' /
+'frequent' / 'mixed' return values sorted as strings; 'priority_sampling' /
+'consistent_sampling' return values in priority order (utils.py:286-287,300-301).
+
+At scale: everything is ``groupBy(value).count()`` (partial-agg friendly) plus
+a per-column top-n — no collect, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: golden-ratio fractional constant used by the reference's fibonacci_hash.
+PHI_FRACTION = 0.6180339887498949
+
+MODES = (
+    "random",
+    "frequent",
+    "mixed",
+    "weighted",
+    "priority_sampling",
+    "consistent_sampling",
+)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _unit_hash(value_col, seed: int = 42):
+    """Deterministic hash of a value into (0, 1]: fibonacci scrambling of
+    xxhash64, the Spark stand-in for fibonacci_hash(mmh3.hash(str(v), 42))."""
+    h = F.pmod(F.xxhash64(F.lit(seed), value_col), F.lit(_MERSENNE)).cast("double")
+    frac = (h * F.lit(PHI_FRACTION)) % F.lit(1.0)
+    # avoid exact zero (division by it in priority mode)
+    return F.when(frac == 0.0, F.lit(1e-18)).otherwise(frac)
+
+
+def melt(df: DataFrame, columns: list[str] | None = None, col_field: str = "col_name",
+         value_field: str = "value") -> DataFrame:
+    """Long-format view (col_name, value:string) of a table — the engine's
+    replacement for materializing per-column value lists (SURVEY §1.4)."""
+    columns = columns or df.columns
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias(col_field), F.col(c).cast("string").alias(value_field)
+            )
+            for c in columns
+        ]
+    )
+    return df.select(F.explode(pairs).alias("kv")).select("kv.*")
+
+
+def value_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A1 per column: (col_name, value, cnt) with nulls dropped — the shared
+    input of every sampling mode. One shuffle for ALL columns."""
+    return (
+        melt(df, columns)
+        .filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def sample_columns(
+    df: DataFrame,
+    n: int = 10,
+    mode: str = "mixed",
+    columns: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Return (col_name, samples:array<string>) — ≤ n representative values per
+    column under ``mode``.  See module docstring for mode semantics."""
+    if mode not in MODES:
+        raise ValueError(f"Unsupported mode: {mode}. Use one of {MODES}")
+    counts = value_counts(df, columns)
+    return samples_from_counts(counts, n=n, mode=mode, seed=seed)
+
+
+def samples_from_counts(
+    counts: DataFrame, n: int = 10, mode: str = "mixed", seed: int = 42
+) -> DataFrame:
+    """Same as :func:`sample_columns` but over a precomputed (col_name, value,
+    cnt) frame, so the counts shuffle is shared across modes/profiles."""
+    by_col = Window.partitionBy("col_name")
+
+    total_unique = F.count(F.lit(1)).over(by_col)
+    counts = counts.withColumn("_total_unique", total_unique)
+    small = F.col("_total_unique") <= n  # ≤ n uniques → return all (sorted)
+
+    if mode == "frequent":
+        order = Window.partitionBy("col_name").orderBy(
+            F.col("cnt").desc(), F.col("value")
+        )
+        picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
+            small | (F.col("_rn") <= n)
+        )
+        return _collect_sorted(picked)
+
+    if mode == "random":
+        order = Window.partitionBy("col_name").orderBy(
+            F.xxhash64(F.lit(seed), F.col("value")), F.col("value")
+        )
+        picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
+            small | (F.col("_rn") <= n)
+        )
+        return _collect_sorted(picked)
+
+    if mode == "mixed":
+        n_frequent = n // 2
+        n_diverse = n - n_frequent
+        freq_order = Window.partitionBy("col_name").orderBy(
+            F.col("cnt").desc(), F.col("value")
+        )
+        val_order = Window.partitionBy("col_name").orderBy(F.col("value"))
+        stride = F.greatest(
+            F.lit(1), F.floor(F.col("_total_unique") / F.lit(n_diverse))
+        )
+        scored = (
+            counts.withColumn("_fr", F.row_number().over(freq_order))
+            .withColumn("_vr", F.row_number().over(val_order))
+            .withColumn(
+                "_diverse_pick",
+                ((F.col("_vr") - 1) % stride == 0)
+                & (((F.col("_vr") - 1) / stride) < n_diverse),
+            )
+        )
+        picked = scored.filter(
+            small | (F.col("_fr") <= n_frequent) | F.col("_diverse_pick")
+        )
+        return _collect_sorted(picked)
+
+    if mode == "weighted":
+        # A-Res reservoir key: u^(1/w) maximized ⟺ -log(u)/w minimized
+        key = -F.log(_unit_hash(F.col("value"), seed)) / F.col("cnt")
+        order = Window.partitionBy("col_name").orderBy(key.asc(), F.col("value"))
+        picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
+            small | (F.col("_rn") <= n)
+        )
+        return _collect_sorted(picked)
+
+    if mode == "priority_sampling":
+        priority = F.col("cnt") / _unit_hash(F.col("value"), seed)
+        return _collect_by_priority(counts, priority, n, small)
+
+    # consistent_sampling: top-n by value hash alone
+    priority = _unit_hash(F.col("value"), seed)
+    return _collect_by_priority(counts, priority, n, small)
+
+
+def _collect_sorted(picked: DataFrame) -> DataFrame:
+    return picked.groupBy("col_name").agg(
+        F.array_sort(F.collect_list("value")).alias("samples")
+    )
+
+
+def _collect_by_priority(counts: DataFrame, priority, n: int, small) -> DataFrame:
+    order = Window.partitionBy("col_name").orderBy(priority.desc(), F.col("value"))
+    picked = (
+        counts.withColumn("_pr", priority)
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(small | (F.col("_rn") <= n))
+    )
+    # keep priority order in the output array (reference utils.py:286-287)
+    return picked.groupBy("col_name").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("_pr")).alias("np"), F.col("value")))
+            ),
+            lambda s: s["value"],
+        ).alias("samples")
+    )

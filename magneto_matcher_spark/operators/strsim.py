@@ -1,0 +1,158 @@
+"""String-similarity matcher — J2 (SURVEY.md §2.3).
+
+Reference: ``get_str_similarity_candidates``
+(algorithms/magneto/magneto/basic_matcher.py:51-79) — a Python double loop over
+source×target column names scoring two similarities:
+
+- ``alignment_score_consecutive`` (basic_matcher.py:11-44): greedy consecutive
+  char alignment with gap ≤ 2 after ``preprocess_string``, with a length-ratio
+  prune (longer > 2× shorter ⇒ 0).
+- ``fuzzy_similarity`` (basic_matcher.py:47-48): ``fuzz.ratio/100``.
+  fuzzywuzzy's pure-python ratio is difflib.SequenceMatcher with int rounding,
+  which is what we use (fuzzywuzzy is unavailable; same definition).
+
+Both column name sets are first stripped of their common prefix
+(utils/utils.py:36-44) — table-wide boilerplate like ``gdc_`` shouldn't count
+as similarity signal.
+
+Spark shape: the pair space is |src_cols| × |tgt_cols| — a *metadata-sized*
+cross join (thousands of pairs for very wide tables, never data-sized), scored
+with one Arrow-batched pandas UDF; the dict-overwrite quirk of the reference
+(fuzzy result replaces alignment result for the same pair, because it is
+assigned second — basic_matcher.py:67-77) is preserved explicitly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def preprocess_string(s: str) -> str:
+    """P4, Python twin of ``preprocess_string_expr`` for use inside UDFs
+    (reference utils.py:70-72)."""
+    return "".join(ch for ch in s if ch.isalnum()).lower()
+
+
+def alignment_score_consecutive(
+    str1: str, str2: str, max_distance: int = 2, size_ratio_threshold: int = 2
+) -> float:
+    """Greedy consecutive-character alignment score in [0, 1].
+
+    Port of basic_matcher.py:11-44: walk the shorter string; for each char,
+    scan forward in the longer string for the next occurrence; accept it only
+    while the gap from the previous match is ≤ ``max_distance``, else stop
+    looking for that char.  Score = matched chars / len(shorter).
+    """
+    s1, s2 = preprocess_string(str1), preprocess_string(str2)
+    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    if len(longer) > len(shorter) * size_ratio_threshold:
+        return 0.0
+    matches = 0
+    last_index = -1
+    for char in shorter:
+        for i in range(last_index + 1, len(longer)):
+            if longer[i] == char:
+                if last_index == -1 or (i - last_index) <= max_distance:
+                    matches += 1
+                    last_index = i
+                break
+    return matches / len(shorter) if shorter else 0.0
+
+
+def fuzzy_ratio(s1: str, s2: str) -> float:
+    """fuzz.ratio/100 — difflib SequenceMatcher ratio with fuzzywuzzy's int
+    rounding (basic_matcher.py:47-48)."""
+    from difflib import SequenceMatcher
+
+    if not s1 and not s2:
+        return 0.0
+    return round(100 * SequenceMatcher(None, s1, s2).ratio()) / 100.0
+
+
+def common_prefix(strings: list[str]) -> str:
+    """W5 (utils/utils.py:36-44): common prefix = prefix of min/max under sort."""
+    if not strings:
+        return ""
+    first, last = min(strings), max(strings)
+    i = 0
+    while i < len(first) and i < len(last) and first[i] == last[i]:
+        i += 1
+    return first[:i]
+
+
+@pandas_udf(T.DoubleType())
+def alignment_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [alignment_score_consecutive(x or "", y or "") for x, y in zip(a, b)]
+    )
+
+
+@pandas_udf(T.DoubleType())
+def fuzzy_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([fuzzy_ratio(x or "", y or "") for x, y in zip(a, b)])
+
+
+def levenshtein_ratio_expr(a, b):
+    """SQL-expressible similarity twin (1 - lev/max_len) used where the DuckDB
+    oracle must reproduce the score exactly; NOT the fuzz.ratio definition."""
+    return F.when(
+        (F.length(a) == 0) & (F.length(b) == 0), F.lit(1.0)
+    ).otherwise(
+        1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b)).cast("double")
+    )
+
+
+def strsim_candidates(
+    spark,
+    source_cols: list[str],
+    target_cols: list[str],
+    alignment_threshold: float = 0.95,
+    fuzzy_threshold: float = 0.6,
+) -> DataFrame:
+    """J2: score all (src, tgt) column-name pairs; emit CANDIDATES rows.
+
+    Keeps the reference's last-writer quirk: when both scores pass their
+    thresholds, the fuzzy score wins (basic_matcher.py:67-77).
+    """
+    prefix_s = common_prefix(list(source_cols))
+    prefix_t = common_prefix(list(target_cols))
+
+    src = spark.createDataFrame([(c,) for c in source_cols], ["src_col"])
+    tgt = spark.createDataFrame([(c,) for c in target_cols], ["tgt_col"])
+    pairs = src.crossJoin(tgt).select(
+        "src_col",
+        "tgt_col",
+        F.expr(f"replace(src_col, '{prefix_s}', '')").alias("_ps")
+        if prefix_s
+        else F.col("src_col").alias("_ps"),
+        F.expr(f"replace(tgt_col, '{prefix_t}', '')").alias("_pt")
+        if prefix_t
+        else F.col("tgt_col").alias("_pt"),
+    )
+    scored = pairs.select(
+        "src_col",
+        "tgt_col",
+        alignment_udf(F.col("_ps"), F.col("_pt")).alias("alignment"),
+        fuzzy_ratio_udf(F.col("_ps"), F.col("_pt")).alias("fuzzy"),
+    )
+    return (
+        scored.withColumn(
+            "score",
+            F.when(F.col("fuzzy") >= fuzzy_threshold, F.col("fuzzy")).otherwise(
+                F.when(F.col("alignment") >= alignment_threshold, F.col("alignment"))
+            ),
+        )
+        .filter(F.col("score").isNotNull())
+        .select(
+            "src_col",
+            "tgt_col",
+            F.col("score").cast("double").alias("score"),
+            F.lit("strsim").alias("strategy"),
+            F.lit(1).alias("priority"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen, no Python in the hot
+path), designed for the ``documents`` table shape
+(doc_id:long, text:string, lang:string, source:string, n_chars:long) and
+oracle-checkable in DuckDB with the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language function-word vocabularies for the n-gram/stopword
+# language-ID heuristic (public knowledge; intentionally small + disjoint)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "this"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "que", "une", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+}
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+_FP_WINDOW = 8
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token estimate: word-piece regex splits on word boundaries,
+    digits, and punctuation runs — a deterministic proxy for subword counts."""
+    pieces = F.filter(
+        F.split(text, r"(?i)(?=[^a-z0-9])|(?<=[^a-z0-9])"), lambda t: F.trim(t) != ""
+    )
+    return F.size(pieces)
+
+
+def stopword_ratio_expr(text: Column, lang: str = "en") -> Column:
+    toks = tokens_expr(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def mean_word_len_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite document quality in [0,1]: length band + low punctuation +
+    healthy stopword ratio + sane mean word length (heuistics in the spirit of
+    C4/Gopher-style quality filters, deterministic and SQL-expressible)."""
+    n = token_count_expr(text)
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio_expr(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio_expr(text)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len_expr(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + sw_ok + mwl_ok) / 4.0
+
+
+def lang_score_expr(text: Column, lang: str) -> Column:
+    """Stopword-hit count for one language."""
+    toks = tokens_expr(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Language ID: argmax of per-language stopword hits, 'und' when all zero.
+    Deterministic tie-break: first language (alphabetical) wins ties with a
+    strictly-greater update rule."""
+    scored = df
+    codes = sorted(LANG_STOPWORDS)
+    for code in codes:
+        scored = scored.withColumn(f"_s_{code}", lang_score_expr(F.col(text_col), code))
+    pick: Column = F.lit("und")
+    best_v: Column = F.lit(0)
+    for code in codes:
+        s = F.col(f"_s_{code}")
+        new_pick = F.when(s > best_v, F.lit(code)).otherwise(pick)
+        best_v = F.when(s > best_v, s).otherwise(best_v)
+        pick = new_pick
+    return scored.withColumn(out_col, pick).drop(*[f"_s_{c}" for c in codes])
+
+
+#: 31^(i mod 8) weight table, small enough that Σ ascii·w · len stays << 2^63
+_FP_POWS = [(_FP_BASE**i) for i in range(_FP_WINDOW)]
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: position-weighted polynomial hash
+    ``(Σ_i ascii(char_i) · 31^(i mod 8)) mod 1e9+7`` — rolling-hash style but
+    reduce-free, so the identical arithmetic runs in Spark and DuckDB
+    (max per-term 127·31^7 ≈ 3.5e12; safe in int64 up to ~2.6e6 chars)."""
+    chars = F.split(text, "")
+    pow_arr = F.array(*[F.lit(p).cast("long") for p in _FP_POWS])
+    weighted = F.transform(
+        chars,
+        lambda ch, i: F.coalesce(F.ascii(ch), F.lit(0)).cast("long")
+        * F.element_at(pow_arr, (i % _FP_WINDOW) + 1),
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.pmod(total, F.lit(_FP_MOD).cast("long"))

@@ -1,0 +1,244 @@
+"""The Magneto matching cascade, Spark-first (SURVEY.md §3.1).
+
+Reference lifecycle (magneto/magneto.py:189-272): clean both tables → strategy
+cascade (strsim → embedding → equal, later strategies OVERWRITE earlier scores
+for the same pair) → per-source-column top-k → optional BP / LLM rerank.
+
+Spark lifecycle: per-strategy candidate DataFrames unioned with a priority
+column; the dict-overwrite semantics become a ``row_number() over (partition
+by src_col, tgt_col order by priority desc) = 1`` dedup (J5); top-k is a
+window (W1).  The whole cascade is ONE lazy Catalyst DAG over metadata-sized
+frames — only the BP reranker's driver-side Hungarian materializes early.
+
+Default parameters mirror the reference (magneto.py:29-43):
+``include_strsim_matches=False, include_embedding_matches=True,
+include_equal_matches=True, topk=20, embedding_threshold=0.1,
+encoding_mode=header_values_verbose, sampling_mode=mixed, sampling_size=10``.
+The snapshot's live ``get_matches`` path runs with both rerankers off
+(magneto.py:252-271 are commented out); the rerank stages implement the
+documented spec and are exercised behind flags (SURVEY.md §7 hardest-item 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from magneto_matcher_spark.functions.cleaning import (
+    clean_df,
+    remove_invalid_characters_expr,
+)
+from magneto_matcher_spark.operators.embedding import embed_text, knn_topk
+from magneto_matcher_spark.operators.profile import profile_table
+from magneto_matcher_spark.operators.serialize import serialize_profiles
+from magneto_matcher_spark.operators.strsim import strsim_candidates
+from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA
+
+DEFAULT_PARAMS = {
+    "encoding_mode": "header_values_verbose",
+    "sampling_mode": "mixed",
+    "sampling_size": 10,
+    "topk": 20,
+    "include_strsim_matches": False,
+    "include_embedding_matches": True,
+    "embedding_threshold": 0.1,
+    "include_equal_matches": True,
+    "use_bp_reranker": False,
+    "use_llm_reranker": False,
+    "embedding_dim": 256,
+}
+
+
+def equal_candidates(spark, source_cols: list[str], target_cols: list[str]) -> DataFrame:
+    """J1: equal cleaned-name match, score 1.0 (magneto.py:87-105).
+
+    Cleaning is P11 — ``remove_invalid_characters(col.strip().lower())`` (note:
+    no camel split, unlike P3).  Broadcast inner equi-join on the cleaned key.
+    """
+    src = spark.createDataFrame([(c,) for c in source_cols], ["src_col"])
+    tgt = spark.createDataFrame([(c,) for c in target_cols], ["tgt_col"])
+    clean = lambda c: remove_invalid_characters_expr(F.lower(F.trim(c)))  # noqa: E731
+    s = src.select("src_col", clean(F.col("src_col")).alias("k"))
+    t = tgt.select("tgt_col", clean(F.col("tgt_col")).alias("k"))
+    return (
+        s.join(F.broadcast(t), "k")
+        .select(
+            "src_col",
+            "tgt_col",
+            F.lit(1.0).alias("score"),
+            F.lit("equal").alias("strategy"),
+            F.lit(3).alias("priority"),
+        )
+    )
+
+
+def embedding_candidates(
+    src_profiles: DataFrame,
+    tgt_profiles: DataFrame,
+    params: dict,
+) -> DataFrame:
+    """J3/E1-E4: serialize profiles → embed → exact cosine top-k → threshold
+    (embedding_matcher.py:77-108)."""
+    mode = params["encoding_mode"]
+    src_text = serialize_profiles(src_profiles, mode=mode)
+    tgt_text = serialize_profiles(tgt_profiles, mode=mode)
+    dim = params["embedding_dim"]
+    src_emb = embed_text(src_text, "text", "embedding", dim=dim)
+    tgt_emb = embed_text(tgt_text, "text", "embedding", dim=dim)
+
+    n_tgt = tgt_profiles.count()
+    k = min(params["topk"], n_tgt)
+    knn = knn_topk(
+        src_emb.select(F.col("col_name").alias("src_col"), "embedding"),
+        tgt_emb.select(F.col("col_name").alias("tgt_col"), "embedding"),
+        k=k,
+        query_id="src_col",
+        corpus_id="tgt_col",
+    )
+    return knn.filter(F.col("score") >= params["embedding_threshold"]).select(
+        "src_col",
+        F.col("neighbor_id").alias("tgt_col"),
+        F.col("score").cast("double").alias("score"),
+        F.lit("embedding").alias("strategy"),
+        F.lit(2).alias("priority"),
+    )
+
+
+def cascade_dedup(candidates: DataFrame) -> DataFrame:
+    """J5: later-strategy-wins for the same (src, tgt) pair — the reference's
+    dict overwrite (magneto.py:68-69,84-85,104-105) as a max-priority dedup."""
+    w = Window.partitionBy("src_col", "tgt_col").orderBy(F.col("priority").desc())
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_matches(candidates: DataFrame, k: int) -> DataFrame:
+    """W1: per-source-column top-k by score, ties broken by tgt_col
+    (magneto.py:107-121 + determinism tie-break per SURVEY §2.5)."""
+    w = Window.partitionBy("src_col").orderBy(F.col("score").desc(), F.col("tgt_col"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def get_matches(
+    source_df: DataFrame,
+    target_df: DataFrame,
+    src_table: str = "source",
+    tgt_table: str = "target",
+    clean: bool = True,
+    profiles: tuple[DataFrame, DataFrame] | None = None,
+    **overrides,
+) -> DataFrame:
+    """Entry point 1 (§3.1): full cascade → MATCHES rows.
+
+    ``profiles`` short-circuits re-profiling when the caller (e.g. the CDC
+    drift resolver) already has them.
+    """
+    params = {**DEFAULT_PARAMS, **overrides}
+    spark = source_df.sparkSession
+
+    if not source_df.columns or not target_df.columns:  # P12 empty guard
+        return spark.createDataFrame([], CANDIDATES_SCHEMA)
+
+    if clean:
+        source_df = clean_df(source_df)
+        target_df = clean_df(target_df)
+
+    parts = []
+    if params["include_strsim_matches"]:
+        parts.append(
+            strsim_candidates(spark, source_df.columns, target_df.columns)
+        )
+    if params["include_embedding_matches"]:
+        if profiles is not None:
+            src_prof, tgt_prof = profiles
+        else:
+            src_prof = profile_table(
+                source_df, src_table,
+                n_samples=params["sampling_size"],
+                sample_mode=params["sampling_mode"],
+            )
+            tgt_prof = profile_table(
+                target_df, tgt_table,
+                n_samples=params["sampling_size"],
+                sample_mode=params["sampling_mode"],
+            )
+        parts.append(embedding_candidates(src_prof, tgt_prof, params))
+    if params["include_equal_matches"]:
+        parts.append(equal_candidates(spark, source_df.columns, target_df.columns))
+
+    if not parts:
+        return spark.createDataFrame([], CANDIDATES_SCHEMA)
+    candidates = parts[0]
+    for p in parts[1:]:
+        candidates = candidates.unionByName(p)
+
+    deduped = cascade_dedup(candidates)
+    matches = topk_matches(deduped, params["topk"])
+
+    if params["use_bp_reranker"]:
+        from magneto_matcher_spark.operators.rerank import bp_rerank
+
+        matches = topk_matches(
+            bp_rerank(matches.select("src_col", "tgt_col", "score")).select(
+                "src_col", "tgt_col", "score",
+                F.lit("bp").alias("strategy"), F.lit(5).alias("priority"),
+            ),
+            params["topk"],
+        )
+    if params["use_llm_reranker"]:
+        from magneto_matcher_spark.operators.rerank import llm_rerank
+
+        matches = topk_matches(
+            llm_rerank(matches.select("src_col", "tgt_col", "score")),
+            params["topk"],
+        )
+
+    return matches.select(
+        F.lit(src_table).alias("src_table"),
+        "src_col",
+        F.lit(tgt_table).alias("tgt_table"),
+        "tgt_col",
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def matcher_drift_resolver(batch: DataFrame, table) -> tuple[dict, list]:
+    """Phase-4 CDC drift resolver (SURVEY.md §3.4): run the full cascade
+    between the batch's unknown columns and the table columns missing from the
+    batch; accept rank-1 matches above a floor as renames, everything else is
+    an add.  Plugs into ``CdcEngine(drift_resolver=...)``."""
+    system = {"op"}
+    incoming = [c for c in batch.columns if c not in system]
+    current = set(table.column_names)
+    unknown = [c for c in incoming if c not in current]
+    missing = [c for c in current if c not in set(incoming)]
+    if not unknown:
+        return {}, []
+
+    renames: dict[str, str] = {}
+    if missing:
+        # profile a bounded slice — drift resolution needs representative
+        # values, not the whole batch/table (at 100 TB a full profile scan
+        # per drift event would dwarf the merge itself)
+        matches = get_matches(
+            batch.select(*unknown).limit(50_000),
+            table.read().select(*missing).limit(50_000),
+            clean=False,
+            topk=1,
+        )
+        taken: set[str] = set()
+        for r in matches.filter(F.col("rank") == 1).orderBy(F.col("score").desc()).collect():
+            if r["score"] >= 0.5 and r["tgt_col"] not in taken and r["src_col"] not in renames:
+                renames[r["src_col"]] = r["tgt_col"]
+                taken.add(r["tgt_col"])
+
+    type_of = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+    adds = [(c, type_of[c]) for c in unknown if c not in renames]
+    return renames, adds

@@ -1,0 +1,1049 @@
+"""Driver-contract query registry: every operator exposed as a
+(spark, sf_dir) → DataFrame callable plus (where SQL-expressible) a DuckDB
+oracle producing identical columns/values (SURVEY.md §5.2).
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded (6 dp; cosine 4 dp) on BOTH sides;
+- timestamp columns are never returned (timestamp_ntz vs DuckDB TIMESTAMP
+  hash differently);
+- queries over xxhash64 / numpy (sampling SA1/5/6, MinHash, SimHash, LSH,
+  hashed embeddings, Hungarian) have NO oracle → driver records the weaker
+  rows-only check, as the contract allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# CDC / window family — events as a binlog (key=(user_id,event_type),
+# lsn=event_id, op: event_id%10==0 → 'D' else 'U')
+# ===========================================================================
+
+def _events_feed(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@q(
+    "w4_max_lsn_dedup",
+    """
+    SELECT user_id, event_type, event_id AS lsn, round(value, 6) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w4_max_lsn_dedup(spark, sf_dir):
+    from magneto_matcher_spark.plans.apply import dedup_max_lsn
+
+    feed = _events_feed(spark, sf_dir)
+    return dedup_max_lsn(feed, key=["user_id", "event_type"], strategy="agg").select(
+        "user_id", "event_type", "lsn", "value"
+    )
+
+
+@q(
+    "w4_salted_dedup",
+    ORACLES.get("w4_max_lsn_dedup"),
+)
+def w4_salted_dedup(spark, sf_dir):
+    from magneto_matcher_spark.plans.apply import dedup_max_lsn
+
+    feed = _events_feed(spark, sf_dir)
+    return dedup_max_lsn(
+        feed, key=["user_id", "event_type"], strategy="salted", n_salts=16
+    ).select("user_id", "event_type", "lsn", "value")
+
+
+@q(
+    "w4_window_dedup",
+    ORACLES.get("w4_max_lsn_dedup"),
+)
+def w4_window_dedup(spark, sf_dir):
+    from magneto_matcher_spark.plans.apply import dedup_max_lsn
+
+    feed = _events_feed(spark, sf_dir)
+    return dedup_max_lsn(
+        feed, key=["user_id", "event_type"], strategy="window"
+    ).select("user_id", "event_type", "lsn", "value")
+
+
+@q(
+    "cdc_replay_final_state",
+    """
+    SELECT user_id, event_type, event_id AS lsn, round(value, 6) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_id % 10 <> 0
+    """,
+)
+def cdc_replay_final_state(spark, sf_dir):
+    """Full replay semantics: max-LSN winner per key, delete winners vanish."""
+    from magneto_matcher_spark.plans.apply import dedup_max_lsn
+
+    feed = _events_feed(spark, sf_dir)
+    winners = dedup_max_lsn(feed, key=["user_id", "event_type"], strategy="agg")
+    return winners.filter(F.col("op") != "D").select(
+        "user_id", "event_type", "lsn", "value"
+    )
+
+
+@q(
+    "cdc_batch_metrics",
+    """
+    SELECT event_id // 1000 AS batch_id,
+           count(*) AS events_in,
+           min(event_id) AS offsets_start,
+           max(event_id) AS offsets_end,
+           max(event_id) - min(event_id) AS lsn_span
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_batch_metrics(spark, sf_dir):
+    """A11: per-micro-batch throughput/lag inputs."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.floor(F.col("event_id") / 1000).alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("events_in"),
+        F.min("event_id").alias("offsets_start"),
+        F.max("event_id").alias("offsets_end"),
+        (F.max("event_id") - F.min("event_id")).alias("lsn_span"),
+    )
+
+
+# ===========================================================================
+# cleaning family (P1-P5)
+# ===========================================================================
+
+@q(
+    "p1_remove_invalid",
+    r"""
+    SELECT DISTINCT props,
+           regexp_replace(props, '[^a-zA-Z0-9\s]', ' ', 'g') AS cleaned
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def p1_remove_invalid(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import remove_invalid_characters_expr
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select("props", remove_invalid_characters_expr(F.col("props")).alias("cleaned"))
+        .distinct()
+    )
+
+
+@q(
+    "p3_clean_column_names",
+    r"""
+    SELECT name,
+           trim(regexp_replace(
+             regexp_replace(
+               lower(regexp_replace(trim(name), '([a-z])([A-Z])', '\1 \2', 'g')),
+               '[^a-zA-Z0-9\s]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS clean_name
+    FROM (SELECT unnest(['l_orderkey','l_extendedprice','OrderDate!!','  CamelCaseCol  ',
+                         'weird__name', 'UPPER_SNAKE']) AS name)
+    """,
+)
+def p3_clean_column_names(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import clean_column_name_expr
+
+    names = ["l_orderkey", "l_extendedprice", "OrderDate!!", "  CamelCaseCol  ",
+             "weird__name", "UPPER_SNAKE"]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    return df.select("name", clean_column_name_expr(F.col("name")).alias("clean_name"))
+
+
+@q(
+    "p5_null_normalize",
+    """
+    SELECT doc_id, CASE WHEN lower(trim(marker)) IN
+             ('not reported','unknown','n/a','none','null','missing','-','')
+           THEN NULL ELSE marker END AS marker_norm
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 'Not Reported'
+                      WHEN doc_id % 7 = 1 THEN 'N/A'
+                      WHEN doc_id % 7 = 2 THEN 'unknown'
+                      ELSE lang END AS marker
+          FROM documents)
+    """,
+)
+def p5_null_normalize(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import null_normalize_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Not Reported"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("N/A"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("unknown"))
+        .otherwise(F.col("lang"))
+    )
+    return docs.select(
+        "doc_id", null_normalize_expr(marker).alias("marker_norm")
+    )
+
+
+# ===========================================================================
+# aggregation / profile family (A1-A5)
+# ===========================================================================
+
+@q(
+    "a1_value_counts",
+    """
+    SELECT event_type AS value, count(*) AS cnt
+    FROM events GROUP BY event_type ORDER BY cnt DESC, value LIMIT 20
+    """,
+)
+def a1_value_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "value")
+        .limit(20)
+    )
+
+
+@q(
+    "a3_distinct_ratio",
+    """
+    SELECT 'event_type' AS col_name,
+           round(count(DISTINCT event_type) * 1.0 / count(*), 6) AS distinct_ratio
+    FROM events
+    UNION ALL
+    SELECT 'user_id', round(count(DISTINCT user_id) * 1.0 / count(*), 6) FROM events
+    UNION ALL
+    SELECT 'lang', round(count(DISTINCT lang) * 1.0 / count(*), 6) FROM documents
+    """,
+)
+def a3_distinct_ratio(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    parts = [
+        ev.agg(
+            F.lit("event_type").alias("col_name"),
+            F.round(F.count_distinct("event_type") / F.count(F.lit(1)), 6).alias(
+                "distinct_ratio"
+            ),
+        ),
+        ev.agg(
+            F.lit("user_id").alias("col_name"),
+            F.round(F.count_distinct("user_id") / F.count(F.lit(1)), 6).alias(
+                "distinct_ratio"
+            ),
+        ),
+        docs.agg(
+            F.lit("lang").alias("col_name"),
+            F.round(F.count_distinct("lang") / F.count(F.lit(1)), 6).alias(
+                "distinct_ratio"
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "a4_numeric_frac",
+    """
+    SELECT 'props' AS col_name,
+           round(avg(CASE WHEN try_cast(props AS DOUBLE) IS NOT NULL
+                 THEN 1 ELSE 0 END), 6) AS numeric_frac
+    FROM events
+    UNION ALL
+    SELECT 'n_chars', round(avg(CASE WHEN try_cast(cast(n_chars AS VARCHAR) AS DOUBLE)
+                 IS NOT NULL THEN 1 ELSE 0 END), 6) FROM documents
+    """,
+)
+def a4_numeric_frac(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    a = ev.agg(
+        F.lit("props").alias("col_name"),
+        F.round(
+            F.avg(F.expr("try_cast(props as double)").isNotNull().cast("int")), 6
+        ).alias("numeric_frac"),
+    )
+    b = docs.agg(
+        F.lit("n_chars").alias("col_name"),
+        F.round(
+            F.avg(
+                F.expr("try_cast(cast(n_chars as string) as double)")
+                .isNotNull()
+                .cast("int")
+            ),
+            6,
+        ).alias("numeric_frac"),
+    )
+    return a.unionByName(b)
+
+
+@q(
+    "w5_common_prefix",
+    """
+    WITH mm AS (SELECT min(source) AS lo, max(source) AS hi FROM documents)
+    SELECT substr(lo, 1, cast(list_sum(list_transform(
+             range(1, least(length(lo), length(hi)) + 1),
+             i -> CASE WHEN substr(lo, 1, cast(i AS INT)) = substr(hi, 1, cast(i AS INT))
+                  THEN 1 ELSE 0 END)) AS INT)) AS prefix
+    FROM mm
+    """,
+)
+def w5_common_prefix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("source").alias("lo"), F.max("source").alias("hi"))
+    # LCP(lo, hi) length = Σ_i [lo[:i] == hi[:i]] (prefix equality is monotone)
+    mm = mm.select(
+        "lo",
+        "hi",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("lo"), F.length("hi"))),
+                lambda i: (
+                    F.col("lo").substr(F.lit(1), i) == F.col("hi").substr(F.lit(1), i)
+                ).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("lcp"),
+    )
+    return mm.select(F.col("lo").substr(F.lit(1), F.col("lcp")).alias("prefix"))
+
+
+# ===========================================================================
+# sampling family (SA1-SA6)
+# ===========================================================================
+
+@q(
+    "sa2_frequent",
+    """
+    SELECT value FROM (
+      SELECT event_type AS value,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY event_type
+    ) WHERE rn <= 5
+    """,
+)
+def sa2_frequent(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    out = sample_columns(ev, n=5, mode="frequent")
+    return out.select(F.explode("samples").alias("value"))
+
+
+@q(
+    "sa3_mixed",
+    """
+    WITH counts AS (
+      SELECT lang AS value, count(*) AS cnt FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ), stats AS (SELECT count(*) AS total_unique FROM counts),
+    ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY cnt DESC, value) AS fr,
+             row_number() OVER (ORDER BY value) AS vr
+      FROM counts
+    )
+    SELECT DISTINCT value FROM ranked, stats
+    WHERE total_unique <= 6
+       OR fr <= 3
+       OR ((vr - 1) % greatest(1, total_unique // 3) = 0
+           AND (vr - 1) // greatest(1, total_unique // 3) < 3)
+    """,
+)
+def sa3_mixed(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+
+    docs = _t(spark, sf_dir, "documents").select("lang")
+    out = sample_columns(docs, n=6, mode="mixed")
+    return out.select(F.explode("samples").alias("value")).distinct()
+
+
+@q("sa5_priority")  # xxhash64-based: rows-only
+def sa5_priority(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return sample_columns(docs, n=5, mode="priority_sampling").select(
+        "col_name", F.explode("samples").alias("value")
+    )
+
+
+@q("sa6_consistent")  # xxhash64-based: rows-only
+def sa6_consistent(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return sample_columns(docs, n=5, mode="consistent_sampling").select(
+        "col_name", F.explode("samples").alias("value")
+    )
+
+
+@q("sa1_random_seeded")  # xxhash64-based: rows-only
+def sa1_random_seeded(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    return sample_columns(ev, n=3, mode="random").select(
+        F.explode("samples").alias("value")
+    )
+
+
+# ===========================================================================
+# strsim / equal / cascade / metrics families (J1, J2, J5, W1, E3, M1-M4)
+# ===========================================================================
+
+_SRC_NAMES = ["PatientID", "Age_At_Diagnosis", "tumor_stage", "GENDER", "smoker_status"]
+_TGT_NAMES = ["patient_id", "age_at_dx", "TumorStage", "gender", "smoking"]
+_SRC_SQL = "unnest(['PatientID','Age_At_Diagnosis','tumor_stage','GENDER','smoker_status'])"
+_TGT_SQL = "unnest(['patient_id','age_at_dx','TumorStage','gender','smoking'])"
+
+
+@q(
+    "j1_equal_match",
+    rf"""
+    WITH s AS (SELECT src_col, regexp_replace(lower(trim(src_col)),
+                 '[^a-zA-Z0-9\s]', ' ', 'g') AS k
+               FROM (SELECT {_SRC_SQL} AS src_col)),
+         t AS (SELECT tgt_col, regexp_replace(lower(trim(tgt_col)),
+                 '[^a-zA-Z0-9\s]', ' ', 'g') AS k
+               FROM (SELECT {_TGT_SQL} AS tgt_col))
+    SELECT s.src_col, t.tgt_col, CAST(1.0 AS DOUBLE) AS score
+    FROM s JOIN t USING (k)
+    """,
+)
+def j1_equal_match(spark, sf_dir):
+    from magneto_matcher_spark.plans.matcher import equal_candidates
+
+    return equal_candidates(spark, _SRC_NAMES, _TGT_NAMES).select(
+        "src_col", "tgt_col", F.round("score", 6).cast("double").alias("score")
+    )
+
+
+@q(
+    "j2_levenshtein_ratio",
+    f"""
+    SELECT src_col, tgt_col,
+           round(1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+                 greatest(length(src_col), length(tgt_col)), 6) AS score
+    FROM (SELECT {_SRC_SQL} AS src_col), (SELECT {_TGT_SQL} AS tgt_col)
+    WHERE 1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+          greatest(length(src_col), length(tgt_col)) >= 0.5
+    """,
+)
+def j2_levenshtein_ratio(spark, sf_dir):
+    from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
+
+    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    scored = src.crossJoin(tgt).select(
+        "src_col",
+        "tgt_col",
+        levenshtein_ratio_expr(F.lower("src_col"), F.lower("tgt_col")).alias("raw"),
+    )
+    return (
+        scored.filter(F.col("raw") >= 0.5)
+        .select("src_col", "tgt_col", F.round("raw", 6).alias("score"))
+    )
+
+
+@q(
+    "w1_topk_per_source",
+    f"""
+    SELECT src_col, tgt_col, score, rank FROM (
+      SELECT src_col, tgt_col, score,
+             row_number() OVER (PARTITION BY src_col
+                                ORDER BY score DESC, tgt_col) AS rank
+      FROM (
+        SELECT src_col, tgt_col,
+               round(1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+                     greatest(length(src_col), length(tgt_col)), 6) AS score
+        FROM (SELECT {_SRC_SQL} AS src_col), (SELECT {_TGT_SQL} AS tgt_col)
+      )
+    ) WHERE rank <= 2
+    """,
+)
+def w1_topk_per_source(spark, sf_dir):
+    from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
+    from magneto_matcher_spark.plans.matcher import topk_matches
+
+    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    scored = src.crossJoin(tgt).select(
+        "src_col",
+        "tgt_col",
+        F.round(
+            levenshtein_ratio_expr(F.lower("src_col"), F.lower("tgt_col")), 6
+        ).alias("score"),
+    )
+    return topk_matches(scored, 2).select(
+        "src_col", "tgt_col", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@q(
+    "j5_cascade_dedup",
+    """
+    WITH c AS (
+      SELECT src_col, tgt_col, CAST(score AS DOUBLE) AS score, strategy, priority
+      FROM (VALUES
+        ('a','x',0.70,'strsim',1), ('a','x',0.90,'embedding',2),
+        ('a','y',0.60,'strsim',1), ('b','y',1.00,'equal',3),
+        ('b','y',0.80,'embedding',2), ('c','z',0.50,'strsim',1)
+      ) AS t(src_col, tgt_col, score, strategy, priority))
+    SELECT src_col, tgt_col, score, strategy FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_col, tgt_col
+                                   ORDER BY priority DESC) AS rn FROM c
+    ) WHERE rn = 1
+    """,
+)
+def j5_cascade_dedup(spark, sf_dir):
+    from magneto_matcher_spark.plans.matcher import cascade_dedup
+
+    rows = [
+        ("a", "x", 0.70, "strsim", 1), ("a", "x", 0.90, "embedding", 2),
+        ("a", "y", 0.60, "strsim", 1), ("b", "y", 1.00, "equal", 3),
+        ("b", "y", 0.80, "embedding", 2), ("c", "z", 0.50, "strsim", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["src_col", "tgt_col", "score", "strategy", "priority"]
+    )
+    return cascade_dedup(df).select("src_col", "tgt_col", "score", "strategy")
+
+
+@q(
+    "e3_minmax_normalize",
+    f"""
+    SELECT src_col, tgt_col,
+           round(CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END, 6)
+             AS score
+    FROM (
+      SELECT src_col, tgt_col, score,
+             min(score) OVER (PARTITION BY src_col) AS mn,
+             max(score) OVER (PARTITION BY src_col) AS mx
+      FROM (
+        SELECT src_col, tgt_col,
+               1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+               greatest(length(src_col), length(tgt_col)) AS score
+        FROM (SELECT {_SRC_SQL} AS src_col), (SELECT {_TGT_SQL} AS tgt_col)
+      )
+    )
+    """,
+)
+def e3_minmax_normalize(spark, sf_dir):
+    from magneto_matcher_spark.operators.embedding import normalize_scores
+    from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
+
+    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    scored = src.crossJoin(tgt).select(
+        "src_col",
+        "tgt_col",
+        levenshtein_ratio_expr(F.lower("src_col"), F.lower("tgt_col")).alias("score"),
+    )
+    return normalize_scores(scored).select(
+        "src_col", "tgt_col", F.round("score", 6).alias("score")
+    )
+
+
+_MATCHES_SQL = """(VALUES
+  ('a','x',0.9,1), ('a','y',0.8,2), ('b','y',0.7,1), ('b','z',0.6,2), ('c','w',0.5,1)
+) AS m(src_col, tgt_col, score, rank)"""
+_GT_SQL = "(VALUES ('a','y'), ('b','y'), ('d','q')) AS g(src_col, tgt_col)"
+
+
+def _matches_gt(spark):
+    matches = spark.createDataFrame(
+        [("a", "x", 0.9, 1), ("a", "y", 0.8, 2), ("b", "y", 0.7, 1),
+         ("b", "z", 0.6, 2), ("c", "w", 0.5, 1)],
+        ["src_col", "tgt_col", "score", "rank"],
+    )
+    gt = spark.createDataFrame(
+        [("a", "y"), ("b", "y"), ("d", "q")], ["src_col", "tgt_col"]
+    )
+    return matches, gt
+
+
+@q(
+    "m2_mrr_adjusted",
+    f"""
+    WITH m AS (SELECT * FROM {_MATCHES_SQL}), g AS (SELECT * FROM {_GT_SQL}),
+    hits AS (
+      SELECT m.src_col, min(m.rank) AS first_rank
+      FROM m JOIN g ON m.src_col = g.src_col AND m.tgt_col = g.tgt_col
+      GROUP BY m.src_col
+    )
+    SELECT round(avg(coalesce(1.0 / first_rank, 0.0)), 6) AS mrr
+    FROM (SELECT DISTINCT src_col FROM g) s LEFT JOIN hits USING (src_col)
+    """,
+)
+def m2_mrr_adjusted(spark, sf_dir):
+    from magneto_matcher_spark.operators.metrics import mrr
+
+    matches, gt = _matches_gt(spark)
+    val = round(mrr(matches, gt, adjusted=True), 6)
+    return spark.createDataFrame([(val,)], "mrr double")
+
+
+@q(
+    "m3_recall_at_k",
+    f"""
+    WITH m AS (SELECT * FROM {_MATCHES_SQL}), g AS (SELECT * FROM {_GT_SQL})
+    SELECT round(
+      (SELECT count(*) FROM g WHERE EXISTS (
+         SELECT 1 FROM m WHERE m.rank <= 2
+           AND m.src_col = g.src_col AND m.tgt_col = g.tgt_col)) * 1.0 /
+      (SELECT count(*) FROM g), 6) AS recall_at_k
+    """,
+)
+def m3_recall_at_k(spark, sf_dir):
+    from magneto_matcher_spark.operators.metrics import recall_at_k
+
+    matches, gt = _matches_gt(spark)
+    val = round(recall_at_k(matches, gt, k=2), 6)
+    return spark.createDataFrame([(val,)], "recall_at_k double")
+
+
+@q(
+    "m4_one_to_one",
+    # greedy-by-score is order-sequential (not SQL-expressible in general);
+    # for this fixed input the expected assignment is the oracle
+    """
+    SELECT src_col, tgt_col, CAST(score AS DOUBLE) AS score
+    FROM (VALUES ('a','x',0.9), ('b','y',0.7), ('c','w',0.5))
+      AS t(src_col, tgt_col, score)
+    """,
+)
+def m4_one_to_one(spark, sf_dir):
+    from magneto_matcher_spark.operators.metrics import one_to_one
+
+    matches, _ = _matches_gt(spark)
+    return one_to_one(matches).select("src_col", "tgt_col", "score")
+
+
+@q(
+    "m4_mutual_best",
+    f"""
+    WITH m AS (SELECT * FROM {_MATCHES_SQL})
+    SELECT src_col, tgt_col, CAST(score AS DOUBLE) AS score FROM (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_col ORDER BY score DESC, tgt_col) AS rs,
+        row_number() OVER (PARTITION BY tgt_col ORDER BY score DESC, src_col) AS rt
+      FROM m
+    ) WHERE rs = 1 AND rt = 1
+    """,
+)
+def m4_mutual_best(spark, sf_dir):
+    from magneto_matcher_spark.operators.metrics import mutual_best
+
+    matches, _ = _matches_gt(spark)
+    return mutual_best(matches).select("src_col", "tgt_col", "score")
+
+
+@q(
+    "j4_misses",
+    f"""
+    WITH m AS (SELECT * FROM {_MATCHES_SQL}), g AS (SELECT * FROM {_GT_SQL})
+    SELECT g.src_col, g.tgt_col FROM g
+    WHERE NOT EXISTS (SELECT 1 FROM m
+                      WHERE m.src_col = g.src_col AND m.tgt_col = g.tgt_col)
+    """,
+)
+def j4_misses(spark, sf_dir):
+    from magneto_matcher_spark.operators.metrics import misses
+
+    matches, gt = _matches_gt(spark)
+    return misses(matches, gt)
+
+
+# ===========================================================================
+# serialization (§2.7) — samples from SA2 frequent (SQL-expressible), types
+# pinned as the oracle's expected profiler output
+# ===========================================================================
+
+@q(
+    "serialize_header_values_default",
+    """
+    WITH samples AS (
+      SELECT event_type AS v FROM (
+        SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type) rn
+        FROM events GROUP BY event_type) WHERE rn <= 5
+    )
+    SELECT 'event_type' AS col_name,
+           '<s>' || 'event_type' || '</s>' || 'categorical' || '</s>' ||
+           string_agg(v, '</s>' ORDER BY v) AS text
+    FROM samples
+    """,
+)
+def serialize_header_values_default(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+    from magneto_matcher_spark.operators.serialize import serialize_expr
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    samp = sample_columns(ev, n=5, mode="frequent")
+    return samp.select(
+        "col_name",
+        serialize_expr(
+            "header_values_default",
+            F.col("col_name"),
+            F.lit("categorical"),
+            F.col("samples"),
+        ).alias("text"),
+    )
+
+
+@q(
+    "serialize_header_values_verbose",
+    """
+    WITH samples AS (
+      SELECT lang AS v FROM (
+        SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang) rn
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang) WHERE rn <= 5
+    )
+    SELECT 'lang' AS col_name,
+           '<s>' || 'Column: lang' || '</s>' || 'Type: categorical' || '</s>' ||
+           'Values: ' || string_agg(v, '</s>' ORDER BY v) || '</s>' AS text
+    FROM samples
+    """,
+)
+def serialize_header_values_verbose(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+    from magneto_matcher_spark.operators.serialize import serialize_expr
+
+    docs = _t(spark, sf_dir, "documents").select("lang")
+    samp = sample_columns(docs, n=5, mode="frequent")
+    return samp.select(
+        "col_name",
+        serialize_expr(
+            "header_values_verbose",
+            F.col("col_name"),
+            F.lit("categorical"),
+            F.col("samples"),
+        ).alias("text"),
+    )
+
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+@q(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_exact(spark, sf_dir):
+    from magneto_matcher_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 200)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from magneto_matcher_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_minhash_lsh")  # xxhash64 signatures: rows-only
+def dedup_minhash_lsh(spark, sf_dir):
+    from magneto_matcher_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(docs, k=32, bands=8, threshold=0.5).select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q("dedup_simhash")  # xxhash64 signatures: rows-only
+def dedup_simhash(spark, sf_dir):
+    from magneto_matcher_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_pairs(docs, max_hamming=3)
+
+
+@q(
+    "dedup_embedding_cosine",
+    # corpus = vectors ∪ their 2×-scaled copies (cosine-invariant) so the
+    # near-dup predicate has true positives to find
+    """
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+         e AS (
+           SELECT vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 10000,
+                  list_transform(embedding, x -> x * 2) FROM base
+         )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from magneto_matcher_spark.operators.dedup import embedding_neardup_pairs
+
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(scaled)
+    return embedding_neardup_pairs(corpus, threshold=0.99, k=5).select("a_id", "b_id")
+
+
+# ===========================================================================
+# similarity search (ANN)
+# ===========================================================================
+
+@q(
+    "ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings)
+    SELECT qid AS vec_id, nid AS neighbor_id FROM (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(qe, ce) DESC, nid) AS rn
+      FROM q, c
+    ) WHERE rn <= 5
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    from magneto_matcher_spark.operators.embedding import knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    nn = knn_topk(queries, emb, k=5)
+    return nn.select("vec_id", "neighbor_id")
+
+
+@q("ann_lsh_topk")  # seeded-numpy hyperplanes: rows-only
+def ann_lsh_topk(spark, sf_dir):
+    from magneto_matcher_spark.operators.embedding import knn_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_topk_lsh(queries, emb, k=5, dim=dim, n_bits=6).select(
+        "vec_id", "neighbor_id", F.round("score", 4).alias("score")
+    )
+
+
+# ===========================================================================
+# text analysis family
+# ===========================================================================
+
+@q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    from magneto_matcher_spark.operators.textops import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+
+
+@q(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+          AS ltoks
+      FROM documents
+    )
+    SELECT doc_id, round((
+      (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+            length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN len(list_filter(ltoks, x -> list_contains(
+              ['the','and','of','to','in','is','that','for','with','this'], x)))
+            * 1.0 / len(toks) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+    ) / 4.0, 6) AS quality
+    FROM t WHERE length(text) > 0 AND len(toks) > 0
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    from magneto_matcher_spark.operators.textops import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.size(F.split(F.trim("text"), r"\s+")) > 0)
+    )
+    return docs.select(
+        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("quality")
+    )
+
+
+@q(
+    "text_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+          AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','von'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','this'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','los','las','una','por','con','para'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','que','une','sur'], x))) AS s_fr
+      FROM t
+    )
+    SELECT doc_id, CASE
+      WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+      WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+      WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+      ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    from magneto_matcher_spark.operators.textops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_sum(list_transform(range(1, length(text) + 1),
+             i -> ascii(substr(text, cast(i AS INT), 1)) *
+                  ([1,31,961,29791,923521,28629151,887503681,27512614111])
+                    [cast((i - 1) % 8 AS INT) + 1]))
+           % 1000000007 AS fingerprint
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    from magneto_matcher_spark.operators.textops import fingerprint_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+# ===========================================================================
+# matcher end-to-end + rerankers (non-SQL-expressible: rows-only)
+# ===========================================================================
+
+@q("magneto_get_matches_f4")
+def magneto_get_matches_f4(spark, sf_dir):
+    from magneto_matcher_spark.plans.matcher import get_matches
+    from magneto_matcher_spark.sources.fixtures import make_matching_pair
+
+    src, tgt, _ = make_matching_pair(spark, n_rows=120)
+    return get_matches(src, tgt, topk=3, include_strsim_matches=True)
+
+
+@q("r1_bp_rerank")
+def r1_bp_rerank(spark, sf_dir):
+    from magneto_matcher_spark.operators.rerank import bp_rerank
+
+    cands = spark.createDataFrame(
+        [("a", "x", 0.9), ("a", "y", 0.85), ("b", "y", 0.8), ("b", "x", 0.75),
+         ("c", "z", 0.6), ("c", "x", 0.55)],
+        ["src_col", "tgt_col", "score"],
+    )
+    return bp_rerank(cands).select(
+        "src_col", "tgt_col", F.round("score", 6).alias("score")
+    )
+
+
+@q("e1_hashed_embedding")
+def e1_hashed_embedding(spark, sf_dir):
+    from magneto_matcher_spark.operators.embedding import embed_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = embed_text(docs.select("doc_id", "text"), dim=64)
+    return out.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+def build_queries():
+    return dict(QUERIES)
+
+
+def build_oracles():
+    return dict(ORACLES)

@@ -1,0 +1,386 @@
+"""Matching operator library tests — SURVEY.md §2 (P/J/A/SA/W/E/R/M families),
+F4 fixture end-to-end cascade, and the full-matcher CDC drift resolver."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from magneto_matcher_spark.functions.cleaning import clean_df
+from magneto_matcher_spark.operators import metrics as M
+from magneto_matcher_spark.operators.embedding import (
+    cosine_expr,
+    embed_text,
+    knn_topk,
+    knn_topk_lsh,
+    normalize_scores,
+)
+from magneto_matcher_spark.operators.profile import profile_table
+from magneto_matcher_spark.operators.rerank import (
+    bp_rerank,
+    linear_sum_assignment_maximize,
+    llm_rerank,
+    parse_candidates,
+)
+from magneto_matcher_spark.operators.sampling import sample_columns
+from magneto_matcher_spark.operators.serialize import ENCODING_MODES, serialize_profiles
+from magneto_matcher_spark.operators.strsim import (
+    alignment_score_consecutive,
+    common_prefix,
+    fuzzy_ratio,
+    strsim_candidates,
+)
+from magneto_matcher_spark.plans.matcher import (
+    equal_candidates,
+    get_matches,
+    matcher_drift_resolver,
+)
+from magneto_matcher_spark.sources.fixtures import make_matching_pair
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    src, tgt, gt = make_matching_pair(spark, n_rows=120)
+    return src.cache(), tgt.cache(), gt.cache()
+
+
+# ---------------- cleaning ----------------
+
+def test_clean_df_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Not Reported", "CamelCase!!"), ("ok value", "x_y")], ["a", "b"]
+    )
+    rows = clean_df(df).collect()
+    assert rows[0]["a"] is None
+    assert rows[0]["b"] == "camel case"
+    assert rows[1]["a"] == "ok value"
+    assert rows[1]["b"] == "x y"
+
+
+# ---------------- profiling ----------------
+
+def test_profile_semantic_types(spark, pair):
+    src, _, _ = pair
+    prof = {r["col_name"]: r for r in profile_table(clean_df(src), "src").collect()}
+    assert prof["PatientID"]["sem_type"] == "key"
+    assert prof["age_at_diagnosis"]["sem_type"] == "numerical"
+    assert prof["gene_symbol"]["sem_type"] == "gene"
+    assert prof["diag_date"]["sem_type"] == "date"
+    assert prof["gender"]["sem_type"] == "binary"
+    assert prof["tumorStage"]["sem_type"] == "categorical"
+    assert prof["empty_col"]["sem_type"] == "unknown"
+    assert prof["empty_col"]["null_frac"] == 1.0
+    assert 0 < prof["site"]["distinct_ratio"] < 0.2
+    assert len(prof["site"]["samples"]) <= 10
+
+
+def test_profile_physical_types(spark, pair):
+    src, _, _ = pair
+    prof = {r["col_name"]: r for r in profile_table(src, "src").collect()}
+    assert prof["PatientID"]["phys_type"] == "varchar"
+    assert prof["age_at_diagnosis"]["phys_type"] == "int"
+    assert prof["bmi"]["phys_type"] == "float"
+
+
+# ---------------- sampling ----------------
+
+@pytest.mark.parametrize(
+    "mode",
+    ["random", "frequent", "mixed", "weighted", "priority_sampling", "consistent_sampling"],
+)
+def test_sampling_modes_deterministic(spark, pair, mode):
+    src, _, _ = pair
+    a = {
+        r["col_name"]: r["samples"]
+        for r in sample_columns(src, n=6, mode=mode).collect()
+    }
+    b = {
+        r["col_name"]: r["samples"]
+        for r in sample_columns(src.repartition(13), n=6, mode=mode).collect()
+    }
+    assert a == b  # partition-independence
+    for col, samples in a.items():
+        assert len(samples) <= 6 or col in ("notes",)
+        assert len(samples) == len(set(samples))
+
+
+def test_sampling_small_column_returns_all_sorted(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], ["v"])
+    out = sample_columns(df, n=10, mode="priority_sampling").collect()[0]["samples"]
+    assert out == ["a", "b", "c"]
+
+
+def test_sampling_frequent_top_counts(spark):
+    df = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1 + [("w",)] * 2, ["v"])
+    out = sample_columns(df, n=2, mode="frequent").collect()[0]["samples"]
+    assert out == ["x", "y"]
+
+
+# ---------------- serialization ----------------
+
+def test_serialize_all_modes(spark, pair):
+    src, _, _ = pair
+    prof = profile_table(clean_df(src), "src")
+    for mode in ENCODING_MODES:
+        out = {r["col_name"]: r["text"] for r in serialize_profiles(prof, mode=mode).collect()}
+        assert len(out) == len(src.columns)
+        assert all(t.startswith("<s>") for t in out.values())
+    verbose = {
+        r["col_name"]: r["text"]
+        for r in serialize_profiles(prof, mode="header_values_verbose").collect()
+    }
+    t = verbose["gender"]
+    assert "Column: gender</s>" in t and "Type: binary</s>" in t and "Values: " in t
+
+
+# ---------------- strsim ----------------
+
+def test_alignment_score_reference_semantics():
+    assert alignment_score_consecutive("patient_id", "PatientID") == 1.0
+    assert alignment_score_consecutive("abc", "abcdefghij") == 0.0  # length prune
+    assert alignment_score_consecutive("", "") == 0.0
+    assert 0 < alignment_score_consecutive("tumor_stage", "tumorStage") <= 1.0
+
+
+def test_fuzzy_ratio_rounding():
+    assert fuzzy_ratio("abc", "abc") == 1.0
+    assert fuzzy_ratio("", "") == 0.0
+    # difflib: 2*matches/(len1+len2) = 2*4/20 = 0.4 ("smok" common block)
+    assert fuzzy_ratio("smoker", "smoking_status") == 0.4
+    assert fuzzy_ratio("patient id", "patientid") == 0.95
+
+
+def test_common_prefix():
+    assert common_prefix(["gdc_age", "gdc_sex", "gdc_site"]) == "gdc_"
+    assert common_prefix([]) == ""
+    assert common_prefix(["abc"]) == "abc"
+
+
+def test_strsim_candidates_finds_twins(spark, pair):
+    src, tgt, gt = pair
+    cands = strsim_candidates(spark, src.columns, tgt.columns)
+    found = {(r["src_col"], r["tgt_col"]) for r in cands.collect()}
+    assert ("PatientID", "patient_id") in found
+    assert ("tumorStage", "tumor_stage") in found
+
+
+# ---------------- embedding / knn ----------------
+
+def test_embed_deterministic_and_normalized(spark):
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("other",)], ["text"])
+    rows = embed_text(df, dim=64).collect()
+    import numpy as np
+
+    v0, v1, v2 = (np.array(r["embedding"]) for r in rows)
+    assert np.allclose(v0, v1)
+    assert not np.allclose(v0, v2)
+    assert abs(np.linalg.norm(v0) - 1.0) < 1e-5
+
+
+def test_knn_topk_exact_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    queries = emb.limit(10)
+    got = knn_topk(queries, emb, k=5).collect()
+    import numpy as np
+
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    for q in queries.collect():
+        qv = np.array(q["embedding"]); qv = qv / np.linalg.norm(qv)
+        sims = matn @ qv
+        order = np.lexsort((ids, -sims))[:5]
+        assert by_q[q["vec_id"]] == [int(ids[i]) for i in order]
+
+
+def test_knn_self_is_top1(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    got = knn_topk(emb, emb, k=1).collect()
+    assert all(r["vec_id"] == r["neighbor_id"] for r in got)
+
+
+def test_knn_lsh_reasonable_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300).cache()
+    dim = len(emb.first()["embedding"])
+    exact = knn_topk(emb.limit(20), emb, k=10).collect()
+    approx = knn_topk_lsh(
+        emb.limit(20), emb, k=10, dim=dim, n_bits=4, n_tables=6
+    ).collect()
+    exact_set = {(r["vec_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["vec_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.5, f"multi-table LSH recall too low: {recall}"
+
+
+def test_cosine_expr_matches_numpy(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([([1.0, 0.0, 1.0], [1.0, 1.0, 0.0])], ["a", "b"])
+    got = df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert abs(got - 0.5) < 1e-9
+
+
+def test_normalize_scores_minmax(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 0.2), ("a", "y", 0.7), ("b", "z", 0.5)],
+        ["src_col", "tgt_col", "score"],
+    )
+    out = {(r["src_col"], r["tgt_col"]): r["score"] for r in normalize_scores(df).collect()}
+    assert out[("a", "x")] == 0.0 and out[("a", "y")] == 1.0
+    assert out[("b", "z")] == 1.0  # constant group → 1.0
+
+
+# ---------------- rerank ----------------
+
+def test_hungarian_simple():
+    import numpy as np
+
+    score = np.array([[0.9, 0.1], [0.8, 0.7]])
+    pairs = dict(linear_sum_assignment_maximize(score))
+    assert pairs == {0: 0, 1: 1}
+
+
+def test_hungarian_rectangular():
+    import numpy as np
+
+    score = np.array([[0.1, 0.9, 0.2], [0.8, 0.85, 0.1]])
+    pairs = dict(linear_sum_assignment_maximize(score))
+    assert pairs == {0: 1, 1: 0}
+
+
+def test_bp_rerank_assigned_rank_first(spark):
+    cands = spark.createDataFrame(
+        [
+            ("a", "x", 0.9), ("a", "y", 0.85),
+            ("b", "y", 0.8), ("b", "x", 0.75),
+        ],
+        ["src_col", "tgt_col", "score"],
+    )
+    out = {(r["src_col"], r["tgt_col"]): r["score"] for r in bp_rerank(cands).collect()}
+    # assignment: a→x, b→y keep scores; others scaled below min(assigned)-0.01
+    assert out[("a", "x")] == 0.9 and out[("b", "y")] == 0.8
+    assert out[("a", "y")] < 0.8 and out[("b", "x")] < 0.8
+    # relative order among unassigned preserved
+    assert out[("a", "y")] > out[("b", "x")]
+
+
+def test_llm_rerank_mock_roundtrip(spark):
+    cands = spark.createDataFrame(
+        [("gender", "sex", 0.3), ("gender", "comments", 0.9)],
+        ["src_col", "tgt_col", "score"],
+    )
+    out = llm_rerank(cands).collect()
+    assert {r["tgt_col"] for r in out} == {"sex", "comments"}
+    assert parse_candidates("a(0.9); b c(0.81)") == [("a", 0.9), ("b c", 0.81)]
+
+
+# ---------------- cascade end-to-end ----------------
+
+@pytest.fixture(scope="module")
+def matches(spark, pair):
+    src, tgt, _ = pair
+    return get_matches(src, tgt, topk=5, include_strsim_matches=True).cache()
+
+
+def test_cascade_accuracy_on_fixture(spark, pair, matches):
+    _, _, gt = pair
+    mrr_adj = M.mrr(matches, gt, adjusted=True)
+    r_at_5 = M.recall_at_k(matches, gt, k=5)
+    assert mrr_adj > 0.6, f"MRR too low: {mrr_adj}"
+    assert r_at_5 > 0.7, f"recall@5 too low: {r_at_5}"
+
+
+def test_equal_match_overrides_other_scores(spark):
+    import pandas as pd
+
+    src = spark.createDataFrame(pd.DataFrame({"Shared_Name": ["a", "b"], "other": [1, 2]}))
+    tgt = spark.createDataFrame(pd.DataFrame({"shared name": ["x", "y"], "misc": [3, 4]}))
+    m = get_matches(src, tgt, topk=3)
+    top = {r["src_col"]: (r["tgt_col"], r["score"]) for r in m.filter(F.col("rank") == 1).collect()}
+    assert top["Shared_Name"] == ("shared name", 1.0)
+
+
+def test_equal_candidates_p11_cleaning(spark):
+    # P11 = strip/lower/remove-invalid only — NO camel split
+    out = equal_candidates(spark, ["FooBar"], ["foobar", "foo_bar"]).collect()
+    pairs = {(r["src_col"], r["tgt_col"]) for r in out}
+    assert ("FooBar", "foobar") in pairs
+    assert ("FooBar", "foo_bar") not in pairs
+
+
+def test_matches_deterministic(spark, pair, matches):
+    src, tgt, _ = pair
+    m2 = get_matches(src.repartition(7), tgt.repartition(5), topk=5, include_strsim_matches=True)
+    a = sorted(map(tuple, matches.collect()))
+    b = sorted(map(tuple, m2.collect()))
+    assert a == b
+
+
+# ---------------- metrics ----------------
+
+def test_metrics_known_values(spark):
+    matches = spark.createDataFrame(
+        [
+            ("a", "x", 0.9, 1), ("a", "y", 0.8, 2),
+            ("b", "y", 0.7, 1), ("b", "z", 0.6, 2),
+            ("c", "w", 0.5, 1),
+        ],
+        ["src_col", "tgt_col", "score", "rank"],
+    )
+    gt = spark.createDataFrame([("a", "y"), ("b", "y"), ("d", "q")], ["src_col", "tgt_col"])
+    # a: first hit rank2 → 0.5; b: rank1 → 1.0; d: no match → 0 → adjusted=(0.5+1+0)/3
+    assert abs(M.mrr(matches, gt, adjusted=True) - 0.5) < 1e-9
+    assert abs(M.mrr(matches, gt, adjusted=False) - 0.5) < 1e-9
+    assert abs(M.recall_at_k(matches, gt, k=1) - 1 / 3) < 1e-9
+    assert abs(M.recall_at_k(matches, gt, k=2) - 2 / 3) < 1e-9
+    prf = M.precision_recall_f1(matches, gt, at_rank=1)
+    assert prf["tp"] == 1 and abs(prf["precision"] - 1 / 3) < 1e-9
+    assert M.misses(matches, gt).count() == 1
+
+
+def test_one_to_one(spark):
+    matches = spark.createDataFrame(
+        [("a", "x", 0.9), ("b", "x", 0.8), ("b", "y", 0.7)],
+        ["src_col", "tgt_col", "score"],
+    )
+    out = {(r["src_col"], r["tgt_col"]) for r in M.one_to_one(matches).collect()}
+    assert out == {("a", "x"), ("b", "y")}
+
+
+# ---------------- drift resolver with full matcher ----------------
+
+def test_matcher_drift_resolver_recovers_f3_mapping(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from magneto_matcher_spark.schemas import CHANGE_FEED_SCHEMA, TRANSCRIPT_KEY
+    from magneto_matcher_spark.sources.changefeed import (
+        generate_change_feed,
+        with_schema_drift,
+    )
+    from magneto_matcher_spark.sources.lake import LakeTable
+    from magneto_matcher_spark.streaming.engine import CdcEngine
+
+    table_schema = T.StructType([f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), table_schema, key=TRANSCRIPT_KEY, n_buckets=4
+    )
+    feed = with_schema_drift(
+        generate_change_feed(spark, 600, n_convs=6, turns_per_conv=5), from_lsn=300
+    )
+    engine = CdcEngine(table, drift_resolver=matcher_drift_resolver)
+    engine.apply_batch(
+        feed.filter(F.col("lsn") < 300).drop("tool_name", "tool_meta", "latency_ms"),
+        "pre",
+    )
+    engine.apply_batch(feed.filter(F.col("lsn") >= 300).drop("tool"), "post")
+
+    # tool_name must have been RENAMED onto the existing `tool` column
+    # (ground truth F3: {tool_name→tool, tool_meta→add, latency_ms→add})
+    cols = set(table.column_names)
+    assert "tool" in cols and "tool_name" not in cols
+    assert {"tool_meta", "latency_ms"} <= cols
+    state = table.read()
+    post_rows = state.filter(F.col("lsn") >= 300)
+    assert post_rows.filter(F.col("tool").isNotNull()).count() > 0

@@ -1,0 +1,89 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5.2.
+
+LSN permutation invariance: any delivery order / any batch split of the same
+event set yields the same final state, because the state is a pure function
+of the per-key max-LSN winner.  Uses a single module-scoped Spark session and
+small event universes so each example runs in milliseconds of planning.
+"""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from magneto_matcher_spark.plans.apply import apply_batch_to_frame
+from magneto_matcher_spark.schemas import CHANGE_FEED_SCHEMA, TRANSCRIPTS_SCHEMA
+
+from pyspark.sql import functions as F
+
+# one event = (key_idx 0..3, op) ; lsn = position in list
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["I", "U", "D"])),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _to_rows(events):
+    rows = []
+    for lsn, (key, op) in enumerate(events):
+        rows.append(
+            (
+                lsn, op, f"c{key}", 0, "user", f"text-{lsn}", None,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn),
+            )
+        )
+    return rows
+
+
+def _oracle(rows):
+    state = {}
+    for r in sorted(rows, key=lambda r: r[0]):
+        k = (r[2], r[3])
+        if r[1] == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (r[5], r[0])
+    return state
+
+
+def _empty(spark):
+    base = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    return base.withColumn("lsn", F.lit(None).cast("long"))
+
+
+def _final(spark, rows, n_batches, permutation_seed):
+    import random
+
+    shuffled = list(rows)
+    random.Random(permutation_seed).shuffle(shuffled)
+    state = _empty(spark)
+    span = max(1, (len(shuffled) + n_batches - 1) // n_batches)
+    for b in range(n_batches):
+        chunk = shuffled[b * span : (b + 1) * span]
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(chunk, CHANGE_FEED_SCHEMA)
+        state = apply_batch_to_frame(state, batch)
+        state = spark.createDataFrame(state.collect(), state.schema)
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"]) for r in state.collect()
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events, seed=st.integers(0, 10_000), n_batches=st.integers(1, 4))
+def test_lsn_permutation_invariance(spark, events, seed, n_batches):
+    """Shuffled delivery + arbitrary batch split == sequential oracle.
+
+    NOTE: batches here are arbitrary subsets (not LSN-contiguous), which is
+    STRONGER than the generator contract — the engine only needs max-LSN
+    winner semantics, which hold for any partition of the event set."""
+    rows = _to_rows(events)
+    expected = {k: v for k, v in _oracle(rows).items()}
+    got = _final(spark, rows, n_batches, seed)
+    assert got == expected
