@@ -62,7 +62,11 @@ Same job, same deterministic input (seed 42, {n_events:,} change events,
 {n_batches} micro-batches, Zipf hot-key fraction 0.2), two parallelism
 levels in fresh JVMs. `local[8]` vs `local[32]` is the sandbox surrogate for
 N vs 4N executors (no real cluster available; allowed by the driver
-instruction).
+instruction).  Work dir + shuffle dirs are tmpfs (/dev/shm): the box's single
+shared disk does not scale with thread count the way a cluster's aggregate
+I/O scales with executors, so disk-backed runs measure /dev/vda, not the
+engine.  An untimed 20k-event warm-up replay amortizes JIT/codegen/committer
+init out of the timed section.
 
 | parallelism | apply wall (s) | events/sec |
 |---|---|---|

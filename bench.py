@@ -51,9 +51,32 @@ def run_cdc_replay(spark, n_events: int, n_batches: int) -> dict:
     from magneto_matcher_spark.sources.lake import LakeTable
     from magneto_matcher_spark.streaming.engine import CdcEngine
 
-    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    # RAM-backed work dir: on this single box the shuffle/write device is one
+    # shared disk, which does NOT scale with threads the way a real cluster's
+    # I/O scales with executors; tmpfs removes that artifact so the N-vs-4N
+    # surrogate measures the engine, not /dev/vda (documented in
+    # BENCH/BASELINE.md)
+    base = os.environ.get(
+        "SPARK_GRAFT_WORKDIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_", dir=base)
     try:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+        # untimed warm-up: a tiny replay into a scratch table amortizes JVM
+        # JIT, whole-stage-codegen compilation, and Hadoop committer init so
+        # the timed section measures throughput, not first-query latency
+        warm_feed = generate_change_feed(spark, 20_000, n_convs=50, turns_per_conv=20)
+        warm_paths = write_change_files(warm_feed, f"{tmp}/warm", 2)
+        warm_schema = T.StructType(
+            [f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"]
+        )
+        warm_table = LakeTable.create(
+            spark, f"{tmp}/warm_lake", warm_schema, key=TRANSCRIPT_KEY, n_buckets=8
+        )
+        CdcEngine(warm_table, dedup_strategy="salted").replay(warm_paths)
+
         feed = generate_change_feed(
             spark,
             n_events,
@@ -65,9 +88,7 @@ def run_cdc_replay(spark, n_events: int, n_batches: int) -> dict:
         )
         paths = write_change_files(feed, f"{tmp}/feed", n_batches)
 
-        schema = T.StructType(
-            [f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"]
-        )
+        schema = warm_schema
         table = LakeTable.create(
             spark, f"{tmp}/lake", schema, key=TRANSCRIPT_KEY, n_buckets=max(cpus, 32)
         )
@@ -101,8 +122,16 @@ def main():
     from magneto_matcher_spark.queries import build_queries
     from magneto_matcher_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+    shuffle_dir = os.environ.get(
+        "SPARK_GRAFT_WORKDIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+    )
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": f"{shuffle_dir}/spark_local_{cpus}"},
+    )
 
     headline = run_cdc_replay(spark, n_events, n_batches)
 

@@ -102,6 +102,63 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return scored.withColumn(out_col, pick).drop(*[f"_s_{c}" for c in codes])
 
 
+def tfidf_char_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n_lo: int = 3,
+    n_hi: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """A7 — TF-IDF-scored common char n-grams (reference ``common_ngrams``,
+    utils/utils.py:47-67: per n ∈ [3,8], sklearn TfidfVectorizer(char, (n,n)),
+    sum per-document L2-normalized scores over the corpus, keep n-grams with
+    total score > threshold, rank descending).
+
+    sklearn is unavailable; this reproduces its math — smooth idf
+    ``ln((1+N)/(1+df)) + 1``, per-document L2 normalization — with
+    explode + window + hash aggregates.  Output: (n, ngram, score) ordered
+    within each n by score desc.
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(F.col(text_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    ).withColumn("_doc", F.monotonically_increasing_id())
+    n_docs = docs.count()
+
+    per_n = []
+    for n in range(n_lo, n_hi + 1):
+        grams = docs.select(
+            "_doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("s") - n + 1, F.lit(0))),
+                    lambda i: F.col("s").substr(i, F.lit(n)),
+                )
+            ).alias("ngram"),
+        ).filter(F.length("ngram") == n)
+        tf = grams.groupBy("_doc", "ngram").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+        w = tf.join(dfreq, "ngram").withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
+        )
+        norm = Window.partitionBy("_doc")
+        w = w.withColumn("wn", F.col("w") / F.sqrt(F.sum(F.col("w") ** 2).over(norm)))
+        scored = (
+            w.groupBy("ngram")
+            .agg(F.sum("wn").alias("score"))
+            .filter(F.col("score") > threshold)
+            .select(F.lit(n).alias("n"), "ngram", "score")
+        )
+        per_n.append(scored)
+    out = per_n[0]
+    for p in per_n[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n", F.desc("score"), "ngram")
+
+
 #: 31^(i mod 8) weight table, small enough that Σ ascii·w · len stays << 2^63
 _FP_POWS = [(_FP_BASE**i) for i in range(_FP_WINDOW)]
 

@@ -1022,6 +1022,64 @@ def r1_bp_rerank(spark, sf_dir):
     )
 
 
+@q("r3_llm_rerank_mock")
+def r3_llm_rerank_mock(spark, sf_dir):
+    from magneto_matcher_spark.operators.rerank import llm_rerank
+
+    cands = spark.createDataFrame(
+        [("gender", "sex", 0.3), ("gender", "comments", 0.9),
+         ("patient_id", "PatientID", 0.5), ("patient_id", "notes", 0.8)],
+        ["src_col", "tgt_col", "score"],
+    )
+    return llm_rerank(cands).select(
+        "src_col", "tgt_col", F.round("score", 4).alias("score")
+    )
+
+
+@q("a7_tfidf_char_ngrams")
+def a7_tfidf_char_ngrams(spark, sf_dir):
+    from magneto_matcher_spark.operators.textops import tfidf_char_ngrams
+
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    return tfidf_char_ngrams(docs.select("source"), "source", n_lo=3, n_hi=4).select(
+        "n", "ngram", F.round("score", 6).alias("score")
+    )
+
+
+@q("mm_decode_features")
+def mm_decode_features(spark, sf_dir):
+    from magneto_matcher_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    decoded = decode_media(synthesize_media(docs), n_features=8)
+    return decoded.select(
+        "media_id", "kind", "width", "height", "n_bytes",
+        F.round(
+            F.aggregate(
+                F.col("features").cast("array<double>"), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("feat_sum"),
+    )
+
+
+@q("mm_frame_sample")
+def mm_frame_sample(spark, sf_dir):
+    from magneto_matcher_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = synthesize_media(docs)
+    return sample_frames(media, every_n=2).select(
+        "media_id", "kind", F.length("payload").alias("payload_len")
+    )
+
+
 @q("e1_hashed_embedding")
 def e1_hashed_embedding(spark, sf_dir):
     from magneto_matcher_spark.operators.embedding import embed_text

@@ -141,12 +141,24 @@ def write_change_files(
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo + 1 + n_batches - 1) // n_batches
+    # single pass: partitioned write by batch id (a per-batch filter loop would
+    # re-run the whole generation pipeline once per batch)
+    batch_id = F.floor((F.col(lsn_col) - lo) / span).cast("int")
+    staged = f"{out_dir}/_staged"
+    (
+        feed.withColumn("_batch", batch_id)
+        .repartition(F.col("_batch"))
+        .write.partitionBy("_batch")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    import os
+
     paths = []
     for b in range(n_batches):
-        start, end = lo + b * span, lo + (b + 1) * span
-        path = f"{out_dir}/batch_{b:05d}"
-        feed.filter((F.col(lsn_col) >= start) & (F.col(lsn_col) < end)).write.mode(
-            "overwrite"
-        ).parquet(path)
-        paths.append(path)
+        src = f"{staged}/_batch={b}"
+        dst = f"{out_dir}/batch_{b:05d}"
+        if os.path.isdir(src):
+            os.rename(src, dst)
+            paths.append(dst)
     return paths

@@ -115,6 +115,20 @@ def test_lang_id_known_texts(spark):
     assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
 
 
+def test_tfidf_char_ngrams_surfaces_shared_prefix(spark):
+    from magneto_matcher_spark.operators.textops import tfidf_char_ngrams
+
+    names = ["gdc_patient_id", "gdc_age_at_diagnosis", "gdc_tumor_stage", "gdc_gender"]
+    df = spark.createDataFrame([(x,) for x in names], ["name"])
+    rows = tfidf_char_ngrams(df, "name", threshold=0.3).collect()
+    top4 = [r["ngram"] for r in rows if r["n"] == 4][:3]
+    assert "gdc_" in top4
+    # ordered by score desc within each n
+    for n in (3, 4):
+        scores = [r["score"] for r in rows if r["n"] == n]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_fingerprint_deterministic_and_discriminative(spark):
     df = spark.createDataFrame([("abc",), ("abd",), ("abc",)], ["text"])
     out = [r["f"] for r in df.select(fingerprint_expr(F.col("text")).alias("f")).collect()]
