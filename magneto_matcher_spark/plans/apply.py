@@ -49,9 +49,10 @@ def normalize_payload(batch: DataFrame) -> DataFrame:
         out = out.withColumn("role", F.lower(F.trim(F.col("role"))))
     if "text" in cols:
         out = out.withColumn("text", F.trim(F.col("text")))
-    out = out.withColumn("turn_idx", F.col("turn_idx").cast("int")).withColumn(
-        "lsn", F.col("lsn").cast("long")
-    )
+    if "turn_idx" in cols:
+        out = out.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    if "lsn" in cols:
+        out = out.withColumn("lsn", F.col("lsn").cast("long"))
     return out
 
 
@@ -106,6 +107,7 @@ def merge_into_frame(
     key: list[str] | None = None,
     lsn_col: str = "lsn",
     op_col: str = "op",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """J6: MERGE semantics over plain DataFrames (no storage layer).
 
@@ -117,6 +119,16 @@ def merge_into_frame(
     ``target`` carries the transcripts columns + ``lsn`` (the LSN that wrote
     each row) so replay is idempotent: a batch whose winner LSN ≤ the stored
     LSN is a no-op.  ``winners`` must already be deduped (≤ 1 row per key).
+
+    ``keep_tombstones=False`` (the contract path) drops deleted keys from the
+    state — correct when batches arrive in per-key LSN order (the change-feed
+    writes LSN-contiguous batches).  ``keep_tombstones=True`` retains delete
+    winners as rows with ``op='D'`` (filter them with
+    :func:`final_state_view`), which makes the merge invariant under ANY
+    partition of the event set into batches: an older 'U' arriving after the
+    delete loses the LSN comparison against the tombstone instead of
+    resurrecting the key.  This is the frame-level analog of the lake layer's
+    MoR delete deltas (sources/lake.py).
 
     Implemented as one full-outer join on the key.  The physical scale story
     lives in the lake layer (bucket-pruned copy-on-write, sources/lake.py);
@@ -135,13 +147,20 @@ def merge_into_frame(
     t_present = t_lsn.isNotNull()
     s_wins = s_present & (~t_present | (s_lsn > t_lsn))
 
-    # row survives unless the winning side is a delete
-    keep = F.when(s_wins, s_op != F.lit("D")).otherwise(t_present)
-
     picked = [
         F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in data_cols
     ]
+
+    if keep_tombstones:
+        t_op = F.col(f"t.{op_col}") if op_col in target.columns else F.lit("U")
+        out_cols = [*key, *picked]
+        if op_col not in data_cols:
+            out_cols.append(F.when(s_wins, s_op).otherwise(t_op).alias(op_col))
+        return joined.select(*out_cols)
+
+    # row survives unless the winning side is a delete
+    keep = F.when(s_wins, s_op != F.lit("D")).otherwise(t_present)
     return joined.filter(keep).select(*key, *picked)
 
 
@@ -150,15 +169,20 @@ def apply_batch_to_frame(
     batch: DataFrame,
     key: list[str] | None = None,
     dedup_strategy: str = "agg",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Phase-1 end-to-end slice: normalize → dedup → merge; returns new state."""
     key = key or TRANSCRIPT_KEY
     winners = dedup_max_lsn(normalize_payload(batch), key=key, strategy=dedup_strategy)
-    return merge_into_frame(target, winners, key=key)
+    return merge_into_frame(
+        target, winners, key=key, keep_tombstones=keep_tombstones
+    )
 
 
 def final_state_view(state: DataFrame) -> DataFrame:
     """W7: stable output ordering for equality checks — user-facing transcript
-    columns ordered by (conv_id, turn_idx)."""
+    columns ordered by (conv_id, turn_idx); tombstone rows (op='D') hidden."""
+    if "op" in state.columns:
+        state = state.filter(F.col("op") != F.lit("D"))
     cols = [c for c in state.columns if c not in ("op",)]
     return state.select(*cols).orderBy("conv_id", "turn_idx")

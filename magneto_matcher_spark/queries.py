@@ -1036,11 +1036,47 @@ def r3_llm_rerank_mock(spark, sf_dir):
     )
 
 
-@q("a7_tfidf_char_ngrams")
+@q(
+    "a7_tfidf_char_ngrams",
+    """
+    WITH docs AS (
+      SELECT doc_id, source AS s FROM documents
+      WHERE doc_id < 50 AND source IS NOT NULL
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM docs),
+    grams AS (
+      SELECT n, doc_id, substr(s, CAST(i AS INT), CAST(n AS INT)) AS ngram
+      FROM (
+        SELECT t.n, doc_id, s,
+               unnest(generate_series(1, len(s) - t.n + 1)) AS i
+        FROM docs CROSS JOIN (VALUES (3), (4)) AS t(n)
+        WHERE len(s) >= t.n
+      )
+    ),
+    tf AS (
+      SELECT n, doc_id, ngram, count(*) AS tf
+      FROM grams GROUP BY n, doc_id, ngram
+    ),
+    dfreq AS (SELECT n, ngram, count(*) AS df FROM tf GROUP BY n, ngram),
+    w AS (
+      SELECT tf.n, tf.doc_id, tf.ngram,
+             tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0) AS w
+      FROM tf JOIN dfreq ON tf.n = dfreq.n AND tf.ngram = dfreq.ngram
+      CROSS JOIN nd
+    ),
+    wn AS (
+      SELECT n, ngram,
+             w / sqrt(sum(w * w) OVER (PARTITION BY n, doc_id)) AS wn
+      FROM w
+    )
+    SELECT n, ngram, round(sum(wn), 6) AS score
+    FROM wn GROUP BY n, ngram HAVING sum(wn) > 0.3
+    """,
+)
 def a7_tfidf_char_ngrams(spark, sf_dir):
     from magneto_matcher_spark.operators.textops import tfidf_char_ngrams
 
-    docs = _t(spark, sf_dir, "documents").limit(50)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return tfidf_char_ngrams(docs.select("source"), "source", n_lo=3, n_hi=4).select(
         "n", "ngram", F.round("score", 6).alias("score")
     )
@@ -1096,6 +1132,510 @@ def e1_hashed_embedding(spark, sf_dir):
             ),
             4,
         ).alias("sq_norm"),
+    )
+
+
+# ===========================================================================
+# cleaning family (P2/P4/P6/P7) — completes §2.2
+# ===========================================================================
+
+_DIRTY_SQL = (
+    "unnest(['CamelCaseCol','snake_case','Not Reported','yes','No','  Mixed "
+    "Val-7  ','n/a','UPPER','x1']) "
+)
+
+
+@q(
+    "p2_camel_split",
+    rf"""
+    SELECT v, regexp_replace(v, '([a-z])([A-Z])', '\1 \2', 'g') AS split
+    FROM (SELECT {_DIRTY_SQL} AS v)
+    """,
+)
+def p2_camel_split(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import split_camel_case_expr
+
+    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    return df.select("v", split_camel_case_expr(F.col("v")).alias("split"))
+
+
+_DIRTY_VALUES = ["CamelCaseCol", "snake_case", "Not Reported", "yes", "No",
+                 "  Mixed Val-7  ", "n/a", "UPPER", "x1"]
+
+
+@q(
+    "p4_preprocess_string",
+    rf"""
+    SELECT v, lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) AS pre
+    FROM (SELECT {_DIRTY_SQL} AS v)
+    """,
+)
+def p4_preprocess_string(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import preprocess_string_expr
+
+    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    return df.select("v", preprocess_string_expr(F.col("v")).alias("pre"))
+
+
+@q(
+    "p6_is_binary",
+    f"""
+    SELECT v, lower(trim(v)) IN
+      ('yes','no','y','n','true','false','t','f','0','1','male','female','m',
+       'positive','negative','pos','neg','present','absent','on','off')
+      AS is_binary
+    FROM (SELECT {_DIRTY_SQL} AS v)
+    """,
+)
+def p6_is_binary(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import is_binary_value_expr
+
+    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    return df.select("v", is_binary_value_expr(F.col("v")).alias("is_binary"))
+
+
+@q(
+    "p7_clean_element",
+    rf"""
+    SELECT v,
+      CASE WHEN lower(trim(v)) IN
+        ('not reported','not_reported','notreported','not applicable',
+         'not_applicable','not available','not_available','unavailable','n/a',
+         'na','n.a.','none','null','nil','nan','unknown','unk','missing',
+         'missing value','no data','nodata','no information','not specified',
+         'unspecified','not collected','not evaluated','not performed',
+         'not done','pending','undetermined','indeterminate','-','--','?','')
+      THEN NULL
+      ELSE trim(regexp_replace(
+             regexp_replace(
+               lower(regexp_replace(trim(v), '([a-z])([A-Z])', '\1 \2', 'g')),
+               '[^a-zA-Z0-9\s]', ' ', 'g'),
+             '\s+', ' ', 'g'))
+      END AS cleaned
+    FROM (SELECT {_DIRTY_SQL} AS v)
+    """,
+)
+def p7_clean_element(spark, sf_dir):
+    from magneto_matcher_spark.functions.cleaning import clean_element_expr
+
+    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    return df.select("v", clean_element_expr(F.col("v")).alias("cleaned"))
+
+
+# ===========================================================================
+# aggregation family completion (A2/A5/A8/A10) + windows (W3/W6)
+# ===========================================================================
+
+@q(
+    "a2_distinct_values",
+    "SELECT DISTINCT lang AS value FROM documents WHERE lang IS NOT NULL",
+)
+def a2_distinct_values(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("value"))
+        .distinct()
+    )
+
+
+@q(
+    "a5_datetime_frac",
+    """
+    SELECT round(avg(CASE WHEN try_cast(marker AS TIMESTAMP) IS NOT NULL
+                     THEN 1 ELSE 0 END), 6) AS dt_frac
+    FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN '2024-03-15' ELSE lang END
+          AS marker FROM documents)
+    """,
+)
+def a5_datetime_frac(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    marker = F.when(F.col("doc_id") % 3 == 0, F.lit("2024-03-15")).otherwise(
+        F.col("lang")
+    )
+    return docs.select(marker.alias("marker")).agg(
+        F.round(
+            F.avg(F.expr("try_to_timestamp(marker)").isNotNull().cast("int")), 6
+        ).alias("dt_frac")
+    )
+
+
+@q(
+    "a8_score_bounds",
+    f"""
+    SELECT round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
+    FROM (
+      SELECT 1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+             greatest(length(src_col), length(tgt_col)) AS score
+      FROM (SELECT {_SRC_SQL} AS src_col), (SELECT {_TGT_SQL} AS tgt_col)
+    )
+    """,
+)
+def a8_score_bounds(spark, sf_dir):
+    from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
+
+    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    scored = src.crossJoin(tgt).select(
+        levenshtein_ratio_expr(F.lower("src_col"), F.lower("tgt_col")).alias("score")
+    )
+    return scored.agg(
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
+@q(
+    "a10_grouped_stats",
+    """
+    SELECT event_type,
+           round(avg(value), 4) AS mean_v,
+           round(quantile_cont(value, 0.5), 4) AS median_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v,
+           round(stddev_samp(value), 4) AS std_v
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_grouped_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.stddev_samp("value"), 4).alias("std_v"),
+    )
+
+
+@q(
+    "m1_mrr_simple",
+    f"""
+    WITH m AS (SELECT * FROM {_MATCHES_SQL}), g AS (SELECT * FROM {_GT_SQL}),
+    hits AS (
+      SELECT m.src_col, min(m.rank) AS first_rank
+      FROM m JOIN g ON m.src_col = g.src_col AND m.tgt_col = g.tgt_col
+      GROUP BY m.src_col
+    )
+    SELECT round(coalesce((SELECT sum(1.0 / first_rank) FROM hits), 0.0) /
+                 (SELECT count(*) FROM g), 6) AS mrr
+    """,
+)
+def m1_mrr_simple(spark, sf_dir):
+    from magneto_matcher_spark.operators.metrics import mrr
+
+    matches, gt = _matches_gt(spark)
+    val = round(mrr(matches, gt, adjusted=False), 6)
+    return spark.createDataFrame([(val,)], "mrr double")
+
+
+@q(
+    "w3_rank_for_mrr",
+    f"""
+    WITH m AS (SELECT * FROM {_MATCHES_SQL}), g AS (SELECT * FROM {_GT_SQL})
+    SELECT m.src_col, min(m.rank) AS first_rank
+    FROM m JOIN g ON m.src_col = g.src_col AND m.tgt_col = g.tgt_col
+    GROUP BY m.src_col
+    """,
+)
+def w3_rank_for_mrr(spark, sf_dir):
+    matches, gt = _matches_gt(spark)
+    return (
+        matches.join(gt, ["src_col", "tgt_col"], "left_semi")
+        .groupBy("src_col")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+
+
+@q(
+    "w6_ordered_head",
+    """
+    SELECT user_id, count(*) AS cnt FROM events
+    GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+)
+def w6_ordered_head(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+    )
+
+
+@q("sa4_weighted")  # seeded-hash weighted reservoir: rows-only
+def sa4_weighted(spark, sf_dir):
+    from magneto_matcher_spark.operators.sampling import sample_columns
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return sample_columns(docs, n=5, mode="weighted").select(
+        "col_name", F.explode("samples").alias("value")
+    )
+
+
+# ===========================================================================
+# serialization — the remaining 7 of 9 modes (§2.7).  Samples: SA2 frequent-5
+# of events.event_type; type pinned 'categorical' (profiler output for it).
+# ===========================================================================
+
+_SAMPLES_CTE = """
+    WITH samples AS (
+      SELECT event_type AS v FROM (
+        SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type) rn
+        FROM events GROUP BY event_type) WHERE rn <= 5
+    )
+"""
+
+
+def _serialize_query(mode: str):
+    def impl(spark, sf_dir):
+        from magneto_matcher_spark.operators.sampling import sample_columns
+        from magneto_matcher_spark.operators.serialize import serialize_expr
+
+        ev = _t(spark, sf_dir, "events").select("event_type")
+        samp = sample_columns(ev, n=5, mode="frequent")
+        return samp.select(
+            "col_name",
+            serialize_expr(
+                mode, F.col("col_name"), F.lit("categorical"), F.col("samples")
+            ).alias("text"),
+        )
+
+    impl.__name__ = f"serialize_{mode}"
+    return impl
+
+
+q(
+    "serialize_header_values_prefix",
+    _SAMPLES_CTE
+    + """
+    SELECT 'event_type' AS col_name,
+           '<s>' || 'header:event_type' || '</s>' || 'datatype:categorical' ||
+           '</s>' || 'values:' || string_agg(v, ', ' ORDER BY v) AS text
+    FROM samples
+    """,
+)(_serialize_query("header_values_prefix"))
+
+q(
+    "serialize_header_values_repeat",
+    _SAMPLES_CTE
+    + """
+    SELECT 'event_type' AS col_name,
+           '<s>' || repeat('event_type' || '</s>', 5) || 'categorical' ||
+           '</s>' || string_agg(v, '</s>' ORDER BY v) AS text
+    FROM samples
+    """,
+)(_serialize_query("header_values_repeat"))
+
+q(
+    "serialize_header_only",
+    """
+    SELECT 'event_type' AS col_name, '<s>' || 'event_type' || '</s>' AS text
+    """,
+)(_serialize_query("header_only"))
+
+q(
+    "serialize_header_values_verbose_notype",
+    _SAMPLES_CTE
+    + """
+    SELECT 'event_type' AS col_name,
+           '<s>' || 'Column: event_type' || '</s>' || 'Values: ' ||
+           string_agg(v, '</s>' ORDER BY v) || '</s>' || '</s>' AS text
+    FROM samples
+    """,
+)(_serialize_query("header_values_verbose_notype"))
+
+q(
+    "serialize_header_values_columnvaluepair_notype",
+    _SAMPLES_CTE
+    + """
+    SELECT 'event_type' AS col_name,
+           '<s>' || 'Column: event_type' || '</s>' || 'Values: ' ||
+           string_agg('event_type:' || v, '</s>' ORDER BY v) || '</s>' ||
+           '</s>' AS text
+    FROM samples
+    """,
+)(_serialize_query("header_values_columnvaluepair_notype"))
+
+# NOTE: the reference's _serialize_header_values_repeat_notype DOES include
+# the type (column_encoder.py:133-141 — a latent bug kept for parity)
+q(
+    "serialize_header_header_values_repeat_notype",
+    ORACLES.get("serialize_header_values_repeat"),
+)(_serialize_query("header_header_values_repeat_notype"))
+
+q(
+    "serialize_header_values_default_notype",
+    _SAMPLES_CTE
+    + """
+    SELECT 'event_type' AS col_name,
+           '<s>' || 'event_type' || '</s>' ||
+           string_agg(v, '</s>' ORDER BY v) AS text
+    FROM samples
+    """,
+)(_serialize_query("header_values_default_notype"))
+
+
+# ===========================================================================
+# profile (§1.2 type cascade, A6) — in-memory fixture with hand-derived
+# semantic types as the golden oracle
+# ===========================================================================
+
+_PROFILE_ROWS = [
+    (f"p{i:02d}",                       # patient_id → key (distinct ratio 1.0)
+     ["male", "female"][i % 2],         # gender → binary (vocab, 2 uniques)
+     ["stage i", "stage ii", "stage iii"][i % 3],  # tumor_stage → categorical
+     str(20 + 3 * i),                   # age_at_diagnosis → numerical
+     f"2024-01-{i + 1:02d}",            # visit_date → date (name rule)
+     ["tp53", "brca1", "kras", "egfr"][i % 4],     # gene_symbol → gene (name)
+     )
+    for i in range(12)
+]
+_PROFILE_COLS = ["patient_id", "gender", "tumor_stage", "age_at_diagnosis",
+                 "visit_date", "gene_symbol"]
+
+
+def _profile_fixture(spark):
+    from magneto_matcher_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(_PROFILE_ROWS, _PROFILE_COLS)
+    return profile_table(df, "clinical")
+
+
+@q(
+    "profile_semantic_types",
+    """
+    SELECT * FROM (VALUES
+      ('patient_id',       'varchar', 'key',         12, 1.0),
+      ('gender',           'varchar', 'binary',       2, round(2.0/12, 6)),
+      ('tumor_stage',      'varchar', 'categorical',  3, 0.25),
+      ('age_at_diagnosis', 'varchar', 'numerical',   12, 1.0),
+      ('visit_date',       'varchar', 'date',        12, 1.0),
+      ('gene_symbol',      'varchar', 'gene',         4, round(4.0/12, 6))
+    ) AS t(col_name, phys_type, sem_type, n_distinct, distinct_ratio)
+    """,
+)
+def profile_semantic_types(spark, sf_dir):
+    prof = _profile_fixture(spark)
+    return prof.select(
+        "col_name",
+        "phys_type",
+        "sem_type",
+        "n_distinct",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+    )
+
+
+@q(
+    "a6_type2columns",
+    """
+    SELECT * FROM (VALUES
+      ('binary',      ['gender']),
+      ('categorical', ['tumor_stage']),
+      ('date',        ['visit_date']),
+      ('gene',        ['gene_symbol']),
+      ('key',         ['patient_id']),
+      ('numerical',   ['age_at_diagnosis'])
+    ) AS t(sem_type, columns)
+    """,
+)
+def a6_type2columns(spark, sf_dir):
+    from magneto_matcher_spark.operators.profile import type2columns_map
+
+    return type2columns_map(_profile_fixture(spark))
+
+
+# ===========================================================================
+# R4 regroup round-trip + CDC schema drift end-to-end
+# ===========================================================================
+
+@q(
+    "r4_rerank_regroup",
+    f"""
+    SELECT src_col, tgt_col, CAST(score AS DOUBLE) AS score
+    FROM {_MATCHES_SQL}
+    """,
+)
+def r4_rerank_regroup(spark, sf_dir):
+    """R4 (magneto.py:149-166): per-col regroup to lists and back — the
+    grouped-map shape the LLM reranker uses; round-trip must be lossless."""
+    matches, _ = _matches_gt(spark)
+    grouped = matches.groupBy("src_col").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "tgt_col", "score"))).alias(
+            "cands"
+        )
+    )
+    return grouped.select(
+        "src_col", F.explode("cands").alias("c")
+    ).select("src_col", F.col("c.tgt_col").alias("tgt_col"),
+             F.col("c.score").alias("score"))
+
+
+@q(
+    "cdc_schema_drift",
+    """
+    WITH feed AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             user_id, event_type, round(value, 6) AS value
+      FROM events WHERE user_id < 40
+    ),
+    mid AS (
+      SELECT cast(floor((min(lsn) + max(lsn)) / 2) AS BIGINT) AS m FROM feed
+    ),
+    winners AS (
+      SELECT f.*, CASE WHEN f.lsn > mid.m THEN 'b2' END AS session_tag,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY lsn DESC) AS rn
+      FROM feed f CROSS JOIN mid
+    )
+    SELECT user_id, event_type, lsn, value, session_tag
+    FROM winners WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_schema_drift(spark, sf_dir):
+    """End-to-end drift: batch 2 arrives with `value` renamed to `VALUE`
+    (cleaned-name match → rename onto live schema) plus a brand-new
+    `session_tag` column (→ schema add).  Final state must equal a plain
+    max-LSN replay over the union with the add back-filled as NULL for
+    batch-1 winners (SURVEY.md §3.4).  Batches split by LSN range (the
+    change-feed contract: cross-batch LSN order per key)."""
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from magneto_matcher_spark.sources.lake import LakeTable
+    from magneto_matcher_spark.streaming.engine import CdcEngine
+
+    feed = _events_feed(spark, sf_dir).filter(F.col("user_id") < 40)
+    b = feed.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+    mid = (b["lo"] + b["hi"]) // 2
+    batch1 = feed.filter(F.col("lsn") <= mid)
+    batch2 = (
+        feed.filter(F.col("lsn") > mid)
+        .withColumnRenamed("value", "VALUE")
+        .withColumn("session_tag", F.lit("b2"))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = _tf.mkdtemp(prefix="drift_lake_")
+    table = LakeTable.create(
+        spark, root, schema, key=["user_id", "event_type"], n_buckets=8
+    )
+    engine = CdcEngine(table, dedup_strategy="agg")
+    engine.apply_batch(batch1, source_desc="b1")
+    engine.apply_batch(batch2, source_desc="b2")
+    return table.read().select(
+        "user_id", "event_type", "lsn", F.round("value", 6).alias("value"),
+        "session_tag"
     )
 
 

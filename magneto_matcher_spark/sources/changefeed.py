@@ -129,25 +129,34 @@ def with_schema_drift(feed: DataFrame, from_lsn: int) -> DataFrame:
 
 
 def write_change_files(
-    feed: DataFrame, out_dir: str, n_batches: int, lsn_col: str = "lsn"
+    feed: DataFrame,
+    out_dir: str,
+    n_batches: int,
+    lsn_col: str = "lsn",
+    files_per_batch: int = 32,
 ) -> list[str]:
     """Split the feed into ``n_batches`` contiguous LSN ranges, one parquet
     directory per batch (``batch_00000`` …) — the on-disk shape both the
     Structured Streaming file source and the batch replay driver consume.
     Returns the batch directory paths in LSN order.
+
+    Single pass: partitioned write by batch id (a per-batch filter loop would
+    re-run the whole generation pipeline once per batch).  Each batch is
+    sub-split into ``files_per_batch`` files — one file per batch would cap
+    the replay's scan parallelism at the file's row-group count (measured: a
+    single straggler task dominates every batch apply).
     """
     bounds = feed.select(
         F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo + 1 + n_batches - 1) // n_batches
-    # single pass: partitioned write by batch id (a per-batch filter loop would
-    # re-run the whole generation pipeline once per batch)
     batch_id = F.floor((F.col(lsn_col) - lo) / span).cast("int")
+    sub = F.pmod(F.col(lsn_col), F.lit(files_per_batch)).cast("int")
     staged = f"{out_dir}/_staged"
     (
         feed.withColumn("_batch", batch_id)
-        .repartition(F.col("_batch"))
+        .repartition(n_batches * files_per_batch, F.col("_batch"), sub)
         .write.partitionBy("_batch")
         .mode("overwrite")
         .parquet(staged)

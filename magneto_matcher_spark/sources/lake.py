@@ -96,7 +96,10 @@ class LakeTable:
         n_buckets: int = 16,
         bucket_col: str | None = None,
         lsn_col: str = "lsn",
+        write_mode: str = "cow",
     ) -> "LakeTable":
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         fields = [
@@ -117,6 +120,7 @@ class LakeTable:
             },
             "key": key,
             "lsn_column": lsn_col,
+            "write_mode": write_mode,
             "snapshots": [],
             "current_snapshot_id": None,
         }
@@ -244,7 +248,31 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [], self._schema_for(read_schema_id)
             )
-        return self._read_manifest(snap["manifest"], read_schema_id)
+        return self._resolve(snap["manifest"], read_schema_id)
+
+    def _resolve(self, manifest: list[dict], read_schema_id: int) -> DataFrame:
+        """Merge-on-read resolution: base data files ∪ delta files → max-LSN
+        winner per key, delete winners invisible (Iceberg v2 equality-delete
+        semantics; deltas are whole-row upsert/delete records keyed by the
+        table key + LSN).  Pure-CoW manifests (no deltas) short-circuit to a
+        plain scan."""
+        data = [e for e in manifest if e.get("kind", "data") == "data"]
+        deltas = [e for e in manifest if e.get("kind", "data") == "delta"]
+        base = (
+            self._read_manifest(data, read_schema_id)
+            if data
+            else self.spark.createDataFrame([], self._schema_for(read_schema_id))
+        )
+        if not deltas:
+            return base
+        from magneto_matcher_spark.plans.apply import dedup_max_lsn
+
+        delta_df = self._read_manifest(deltas, read_schema_id, extra_cols=("op",))
+        union = base.withColumn("op", F.lit("U")).unionByName(delta_df)
+        winners = dedup_max_lsn(
+            union, key=self.key, lsn_col=self.lsn_col, strategy="agg"
+        )
+        return winners.filter(F.col("op") != F.lit("D")).drop("op")
 
     def _schema_for(self, schema_id: int) -> T.StructType:
         return T.StructType(
@@ -254,7 +282,14 @@ class LakeTable:
             ]
         )
 
-    def _read_manifest(self, manifest: list[dict], read_schema_id: int) -> DataFrame:
+    def _read_manifest(
+        self,
+        manifest: list[dict],
+        read_schema_id: int,
+        extra_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """``extra_cols``: system columns present in the files verbatim
+        (outside the field-ID schema), e.g. delta files' ``op``."""
         target_fields = self._schema_by_id(read_schema_id)["fields"]
         by_schema: dict[int, list[str]] = {}
         for entry in manifest:
@@ -277,6 +312,7 @@ class LakeTable:
                     cols.append(
                         F.lit(None).cast(_str_to_type(tf["type"])).alias(tf["name"])
                     )
+            cols += [F.col(c) for c in extra_cols]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -297,15 +333,19 @@ class LakeTable:
         manifest = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in wanted]
         if not manifest:
             return self.spark.createDataFrame([], self._schema_for(read_schema_id))
-        return self._read_manifest(manifest, read_schema_id)
+        return self._resolve(manifest, read_schema_id)
 
     # ---------------- write path ----------------
 
-    def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, snapshot_id: int, kind: str = "data"
+    ) -> list[dict]:
         """Write ``df`` (current schema + ``_bucket``) partitioned by bucket
-        under ``data/snap-{id}/``; return manifest entries."""
-        rel_dir = f"data/snap-{snapshot_id}"
+        under ``data/snap-{id}/``; return manifest entries.  ``kind='delta'``
+        marks merge-on-read change files (payload + ``op``)."""
+        rel_dir = f"data/snap-{snapshot_id}" if kind == "data" else f"data/delta-{snapshot_id}"
         out_dir = os.path.join(self.root, rel_dir)
+        t0 = time.time()
         (
             df.repartition(F.col("_bucket"))
             .sortWithinPartitions(*self.key)  # W7: file-level determinism
@@ -313,6 +353,8 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        t_write = time.time() - t0
+        t0 = time.time()
         import pyarrow.parquet as pq
 
         entries = []
@@ -325,8 +367,14 @@ class LakeTable:
                     "bucket": bucket,
                     "schema_id": self.meta["current_schema_id"],
                     "rows": rows,
+                    "kind": kind,
                 }
             )
+        # perf introspection for the bench (not part of the table format)
+        self.last_write_timings = {
+            "write_job_s": round(t_write, 3),
+            "manifest_scan_s": round(time.time() - t0, 3),
+        }
         return entries
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -378,6 +426,7 @@ class LakeTable:
         winners: DataFrame,
         summary: dict | None = None,
         op_col: str = "op",
+        touched: list[int] | None = None,
     ) -> int:
         """J6: key-partition-pruned MERGE (SURVEY §2.3).
 
@@ -391,6 +440,24 @@ class LakeTable:
         Physical plan: bucket the batch, prune the manifest to touched buckets,
         full-outer-join ONLY those buckets' rows with the batch, rewrite those
         buckets, keep every untouched file by reference.
+
+        ``touched``: optional precomputed bucket list.  Dedup has the same key
+        set as its input, so callers that already scanned the raw batch (the
+        CDC engine's stats pass) can hand the bucket set over — computing it
+        here would execute the whole winners lineage (normalize + dedup
+        shuffle) once for this collect and a second time for the write.
+
+        Write modes (``create(write_mode=...)``):
+
+        - ``cow`` — copy-on-write: full-outer-join and rewrite the touched
+          buckets.  Read is a plain scan.  Right when batches are small
+          relative to buckets or reads dominate.
+        - ``mor`` — merge-on-read: append the winners (with ``op``) as bucketed
+          DELTA files, no join, no rewrite — O(batch) per merge regardless of
+          table size.  Reads resolve base ∪ deltas via max-LSN dedup;
+          ``compact()`` folds deltas back into data files.  Right for
+          high-frequency ingest at 100 TB, where CoW would rewrite the table
+          every micro-batch.
         """
         from magneto_matcher_spark.plans.apply import merge_into_frame
 
@@ -399,7 +466,24 @@ class LakeTable:
         lsn_col = self.lsn_col
 
         batch = self._with_bucket(winners.select(*cols, op_col))
-        touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
+
+        if self.meta.get("write_mode", "cow") == "mor":
+            new_entries = self._write_data_files(batch, snapshot_id, kind="delta")
+            cur = self.current_snapshot()
+            manifest = (list(cur["manifest"]) if cur else []) + new_entries
+            s = {
+                "delta-rows-written": sum(e["rows"] for e in new_entries),
+                "rows-written": sum(e["rows"] for e in new_entries),
+                "buckets-rewritten": 0,
+                "files-kept": len(manifest) - len(new_entries),
+            }
+            s.update(summary or {})
+            return self._commit("merge", manifest, s)
+
+        if touched is None:
+            touched = [
+                r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+            ]
 
         cur = self.current_snapshot()
         old_manifest = list(cur["manifest"]) if cur else []
@@ -422,6 +506,26 @@ class LakeTable:
         }
         s.update(summary or {})
         return self._commit("merge", kept + new_entries, s)
+
+    def compact(self, summary: dict | None = None) -> int:
+        """Fold delta files into data files (MoR maintenance).  Resolves the
+        current state once and rewrites it; subsequent reads are plain scans
+        again.  At scale this is the Iceberg ``rewrite_data_files`` analog —
+        run when delta rows exceed a fraction of base rows."""
+        snapshot_id = self._next_snapshot_id()
+        cur = self.current_snapshot()
+        manifest = list(cur["manifest"]) if cur else []
+        deltas = [e for e in manifest if e.get("kind", "data") == "delta"]
+        if not deltas:
+            return self._commit("compact", manifest, {"noop": True, **(summary or {})})
+        resolved = self.read().select(*self.column_names)
+        new_entries = self._write_data_files(self._with_bucket(resolved), snapshot_id)
+        s = {
+            "rows-written": sum(e["rows"] for e in new_entries),
+            "deltas-folded": len(deltas),
+        }
+        s.update(summary or {})
+        return self._commit("compact", new_entries, s)
 
     # ---------------- schema evolution ----------------
 

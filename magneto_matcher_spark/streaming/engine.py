@@ -100,12 +100,27 @@ class CdcEngine:
         t0 = time.time()
         lsn_col = self.table.lsn_col
 
-        stats = batch.agg(
+        # one scan: batch stats + touched buckets.  Dedup preserves the key
+        # set, so the bucket set of the raw batch IS the bucket set of the
+        # winners — computing it here lets merge() skip its own distinct over
+        # the winners lineage (which would run the dedup shuffle twice).
+        from magneto_matcher_spark.sources.lake import bucket_expr
+
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.min(lsn_col).alias("lo"),
             F.max(lsn_col).alias("hi"),
-        ).collect()[0]
+        ]
+        bucket_col = self.table.bucket_source
+        if bucket_col in batch.columns:
+            aggs.append(
+                F.collect_set(
+                    bucket_expr(bucket_col, self.table.n_buckets)
+                ).alias("buckets")
+            )
+        stats = batch.agg(*aggs).collect()[0]
         n_events, lo, hi = stats["n"], stats["lo"], stats["hi"]
+        touched = sorted(stats["buckets"]) if "buckets" in stats.asDict() else None
 
         metrics = BatchMetrics(
             events_in=n_events,
@@ -127,6 +142,7 @@ class CdcEngine:
             self._emit(metrics)
             return metrics
 
+        t_stats = time.time() - t0
         batch = normalize_payload(batch)
         batch = self._resolve_drift(batch)
         winners = dedup_max_lsn(
@@ -138,6 +154,7 @@ class CdcEngine:
         )
 
         # per-partition lineage: source → lsn span per input partition
+        t1 = time.time()
         lineage = {"source": source_desc or "", "start": int(lo), "end": int(hi)}
         snapshot_id = self.table.merge(
             winners,
@@ -146,7 +163,9 @@ class CdcEngine:
                 "offsets.end": int(hi),
                 "source.lineage": json.dumps(lineage),
             },
+            touched=touched,
         )
+        t_merge = time.time() - t1
         dur = time.time() - t0
         summ = self.table.summary()
         metrics.update(
@@ -155,6 +174,8 @@ class CdcEngine:
             rows_written=int(summ.get("rows-written", -1)),
             buckets_rewritten=int(summ.get("buckets-rewritten", -1)),
             duration_s=dur,
+            stats_s=round(t_stats, 3),
+            merge_s=round(t_merge, 3),
             events_per_sec=n_events / dur if dur > 0 else float("inf"),
             lsn_lag=int(hi - lo),
         )

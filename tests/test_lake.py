@@ -156,3 +156,77 @@ def test_bucket_expr_deterministic(spark):
     a = df.select(bucket_expr("conv_id", 8).alias("b")).collect()
     b = df.repartition(7).select(bucket_expr("conv_id", 8).alias("b")).collect()
     assert sorted(r["b"] for r in a) == sorted(r["b"] for r in b)
+
+
+# ---------------- merge-on-read (MoR) ----------------
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "mor"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+
+
+def _apply_batches(t, spark):
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, "a"), _ev(2, "I", "c1", 1, "b"),
+         _ev(3, "I", "c2", 0, "c")],
+        CHANGE_FEED_SCHEMA,
+    )
+    t.merge(dedup_max_lsn(b1))
+    b2 = spark.createDataFrame(
+        [_ev(4, "U", "c1", 0, "a2"), _ev(5, "D", "c1", 1, "b")],
+        CHANGE_FEED_SCHEMA,
+    )
+    t.merge(dedup_max_lsn(b2))
+
+
+def test_mor_merge_semantics_match_cow(spark, table, mor_table):
+    _apply_batches(table, spark)
+    _apply_batches(mor_table, spark)
+    cow = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    mor = {(r["conv_id"], r["turn_idx"]): r["text"] for r in mor_table.read().collect()}
+    assert mor == cow == {("c1", 0): "a2", ("c2", 0): "c"}
+
+
+def test_mor_writes_deltas_not_rewrites(spark, mor_table):
+    _apply_batches(mor_table, spark)
+    manifest = mor_table.current_snapshot()["manifest"]
+    kinds = {e.get("kind", "data") for e in manifest}
+    assert kinds == {"delta"}
+    assert mor_table.summary()["buckets-rewritten"] == "0"
+
+
+def test_mor_compact_folds_deltas_and_preserves_state(spark, mor_table):
+    _apply_batches(mor_table, spark)
+    before = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in mor_table.read().collect()}
+    mor_table.compact()
+    manifest = mor_table.current_snapshot()["manifest"]
+    assert all(e.get("kind", "data") == "data" for e in manifest)
+    after = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in mor_table.read().collect()}
+    assert after == before
+    # compact on a delta-free table is a no-op commit
+    sid = mor_table.compact()
+    assert mor_table.summary(sid).get("noop") == "True"
+
+
+def test_mor_time_travel_resolves_historic_deltas(spark, mor_table):
+    b1 = spark.createDataFrame([_ev(1, "I", "c1", 0, "a")], CHANGE_FEED_SCHEMA)
+    s1 = mor_table.merge(dedup_max_lsn(b1))
+    b2 = spark.createDataFrame([_ev(2, "U", "c1", 0, "a2")], CHANGE_FEED_SCHEMA)
+    mor_table.merge(dedup_max_lsn(b2))
+    assert [r["text"] for r in mor_table.read(snapshot_id=s1).collect()] == ["a"]
+    assert [r["text"] for r in mor_table.read().collect()] == ["a2"]
+
+
+def test_mor_evolve_maps_old_delta_files(spark, mor_table):
+    b1 = spark.createDataFrame([_ev(1, "I", "c1", 0, "a", tool="grep")],
+                               CHANGE_FEED_SCHEMA)
+    mor_table.merge(dedup_max_lsn(b1))
+    mor_table.evolve(renames={"tool": "tool_name"}, adds=[("tool_meta", "string")])
+    row = mor_table.read().collect()[0]
+    assert row["tool_name"] == "grep" and row["tool_meta"] is None

@@ -52,22 +52,33 @@ def _empty(spark):
     return base.withColumn("lsn", F.lit(None).cast("long"))
 
 
-def _final(spark, rows, n_batches, permutation_seed):
+def _final(spark, rows, n_batches, permutation_seed, keep_tombstones):
     import random
 
     shuffled = list(rows)
     random.Random(permutation_seed).shuffle(shuffled)
+    if not keep_tombstones:
+        # contract mode: batches are per-key LSN-ordered (the change feed
+        # writes LSN-contiguous ranges); shuffle only WITHIN batches
+        shuffled.sort(key=lambda r: r[0])
     state = _empty(spark)
     span = max(1, (len(shuffled) + n_batches - 1) // n_batches)
     for b in range(n_batches):
         chunk = shuffled[b * span : (b + 1) * span]
         if not chunk:
             continue
+        if not keep_tombstones:
+            chunk = list(chunk)
+            random.Random(permutation_seed + b).shuffle(chunk)
         batch = spark.createDataFrame(chunk, CHANGE_FEED_SCHEMA)
-        state = apply_batch_to_frame(state, batch)
+        state = apply_batch_to_frame(state, batch, keep_tombstones=keep_tombstones)
         state = spark.createDataFrame(state.collect(), state.schema)
+    visible = state
+    if "op" in visible.columns:
+        visible = visible.filter(F.col("op") != "D")
     return {
-        (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"]) for r in state.collect()
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"])
+        for r in visible.collect()
     }
 
 
@@ -78,12 +89,29 @@ def _final(spark, rows, n_batches, permutation_seed):
 )
 @given(events=_events, seed=st.integers(0, 10_000), n_batches=st.integers(1, 4))
 def test_lsn_permutation_invariance(spark, events, seed, n_batches):
-    """Shuffled delivery + arbitrary batch split == sequential oracle.
+    """Shuffled delivery + ARBITRARY batch split == sequential oracle.
 
-    NOTE: batches here are arbitrary subsets (not LSN-contiguous), which is
-    STRONGER than the generator contract — the engine only needs max-LSN
-    winner semantics, which hold for any partition of the event set."""
+    Batches here are arbitrary subsets (not LSN-contiguous), STRONGER than the
+    generator contract, so the tombstone-retaining merge is required: without
+    tombstones an older 'U' delivered after a 'D' would resurrect the key
+    (the lake layer's MoR delete deltas give the same guarantee)."""
     rows = _to_rows(events)
     expected = {k: v for k, v in _oracle(rows).items()}
-    got = _final(spark, rows, n_batches, seed)
+    got = _final(spark, rows, n_batches, seed, keep_tombstones=True)
+    assert got == expected
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events, seed=st.integers(0, 10_000), n_batches=st.integers(1, 4))
+def test_contract_mode_contiguous_batches(spark, events, seed, n_batches):
+    """Default (tombstone-free) merge: LSN-contiguous batch splits with
+    arbitrary WITHIN-batch order == sequential oracle — exactly the change
+    feed's delivery contract."""
+    rows = _to_rows(events)
+    expected = {k: v for k, v in _oracle(rows).items()}
+    got = _final(spark, rows, n_batches, seed, keep_tombstones=False)
     assert got == expected
