@@ -104,3 +104,26 @@ def make_matching_pair(
     )
     sm_gt = spark.createDataFrame(GROUND_TRUTH, "src_col string, tgt_col string")
     return sm_source, sm_target, sm_gt
+
+
+def read_ground_truth_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — ground-truth scan, CSV with (source_column, target_column)
+    header (reference gdc_benchmark.py:138-140 incl. the dropna)."""
+    return (
+        spark.read.csv(path, header=True, inferSchema=False)
+        .select("source_column", "target_column")
+        .na.drop()
+    )
+
+
+def read_ground_truth_json(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — ground-truth scan, Valentine mapping JSON: a ``matches`` array of
+    ``{"source_column": ..., "target_column": ...}`` objects (reference
+    ``extract_matchings``, valentine_benchmark.py:35-42, read at :316)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.option("multiLine", "true").json(path)
+    return raw.select(F.explode("matches").alias("m")).select(
+        F.col("m.source_column").alias("source_column"),
+        F.col("m.target_column").alias("target_column"),
+    )

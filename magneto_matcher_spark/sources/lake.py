@@ -338,13 +338,12 @@ class LakeTable:
     # ---------------- write path ----------------
 
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int, kind: str = "data"
+        self, df: DataFrame, dirname: str, kind: str = "data"
     ) -> list[dict]:
         """Write ``df`` (current schema + ``_bucket``) partitioned by bucket
-        under ``data/snap-{id}/``; return manifest entries.  ``kind='delta'``
+        under ``data/{dirname}/``; return manifest entries.  ``kind='delta'``
         marks merge-on-read change files (payload + ``op``)."""
-        rel_dir = f"data/snap-{snapshot_id}" if kind == "data" else f"data/delta-{snapshot_id}"
-        out_dir = os.path.join(self.root, rel_dir)
+        out_dir = os.path.join(self.root, "data", dirname)
         t0 = time.time()
         (
             df.repartition(F.col("_bucket"))
@@ -414,7 +413,7 @@ class LakeTable:
         """Append rows (no key dedup). df must carry the current columns."""
         snapshot_id = self._next_snapshot_id()
         aligned = df.select(*self.column_names)
-        new_entries = self._write_data_files(self._with_bucket(aligned), snapshot_id)
+        new_entries = self._write_data_files(self._with_bucket(aligned), f"snap-{snapshot_id}")
         cur = self.current_snapshot()
         manifest = (list(cur["manifest"]) if cur else []) + new_entries
         s = {"rows-appended": sum(e["rows"] for e in new_entries)}
@@ -468,7 +467,7 @@ class LakeTable:
         batch = self._with_bucket(winners.select(*cols, op_col))
 
         if self.meta.get("write_mode", "cow") == "mor":
-            new_entries = self._write_data_files(batch, snapshot_id, kind="delta")
+            new_entries = self._write_data_files(batch, f"delta-{snapshot_id}", kind="delta")
             cur = self.current_snapshot()
             manifest = (list(cur["manifest"]) if cur else []) + new_entries
             s = {
@@ -498,7 +497,7 @@ class LakeTable:
             op_col=op_col,
         ).select(*cols)
 
-        new_entries = self._write_data_files(self._with_bucket(merged), snapshot_id)
+        new_entries = self._write_data_files(self._with_bucket(merged), f"snap-{snapshot_id}")
         s = {
             "buckets-rewritten": len(touched),
             "files-kept": len(kept),
@@ -506,6 +505,46 @@ class LakeTable:
         }
         s.update(summary or {})
         return self._commit("merge", kept + new_entries, s)
+
+    def stage_delta(self, winners: DataFrame, op_col: str = "op") -> list[dict]:
+        """Write a batch's MoR delta files WITHOUT committing; returns the
+        manifest entries for :meth:`commit_delta`.
+
+        This is the concurrent-ingest split of the MoR merge: delta writes
+        touch no shared state (each stage gets its own directory), so multiple
+        micro-batches can stage in parallel threads while commits stay
+        serialized in LSN order (the engine's exactly-once contract).
+        Requires a schema-stable window: callers must resolve drift before
+        staging (the engine serializes on drift)."""
+        if self.meta.get("write_mode", "cow") != "mor":
+            raise ValueError("stage_delta requires write_mode='mor'")
+        batch = self._with_bucket(winners.select(*self.column_names, op_col))
+        return self._write_data_files(
+            batch, f"delta-stage-{uuid.uuid4().hex[:12]}", kind="delta"
+        )
+
+    def commit_delta(self, entries: list[dict], summary: dict | None = None) -> int:
+        """Attach staged delta entries to the table (single-writer commit)."""
+        cur = self.current_snapshot()
+        manifest = (list(cur["manifest"]) if cur else []) + entries
+        s = {
+            "delta-rows-written": sum(e["rows"] for e in entries),
+            "rows-written": sum(e["rows"] for e in entries),
+            "buckets-rewritten": 0,
+            "files-kept": len(manifest) - len(entries),
+        }
+        s.update(summary or {})
+        return self._commit("merge", manifest, s)
+
+    def discard_staged(self, entries: list[dict]) -> None:
+        """Remove staged delta files that will never be committed (e.g. the
+        batch lost the watermark race on redelivery)."""
+        import shutil as _shutil
+
+        dirs = {os.path.dirname(os.path.join(self.root, e["path"])) for e in entries}
+        for d in dirs:
+            _shutil.rmtree(os.path.dirname(d) if "_bucket=" in os.path.basename(d) else d,
+                           ignore_errors=True)
 
     def compact(self, summary: dict | None = None) -> int:
         """Fold delta files into data files (MoR maintenance).  Resolves the
@@ -519,7 +558,7 @@ class LakeTable:
         if not deltas:
             return self._commit("compact", manifest, {"noop": True, **(summary or {})})
         resolved = self.read().select(*self.column_names)
-        new_entries = self._write_data_files(self._with_bucket(resolved), snapshot_id)
+        new_entries = self._write_data_files(self._with_bucket(resolved), f"snap-{snapshot_id}")
         s = {
             "rows-written": sum(e["rows"] for e in new_entries),
             "deltas-folded": len(deltas),

@@ -18,6 +18,7 @@ no-op for already-applied keys.  Together: effectively-once.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame
@@ -43,17 +44,24 @@ class CdcEngine:
         n_salts: int = 32,
         drift_resolver=None,
         metrics_sink: str | None = None,
+        auto_compact_ratio: float | None = None,
     ):
         """``drift_resolver``: callable (batch_df, table) →
         (renames: dict incoming→table name, adds: list[(name, type_str)]).
         Defaults to exact cleaned-name matching; Phase 4 wires the full
         Magneto cascade here (SURVEY.md §3.4).
+
+        ``auto_compact_ratio``: MoR maintenance policy — after a merge, if
+        accumulated delta rows exceed this fraction of data rows, run
+        ``table.compact()`` (read-amplification bound; the Iceberg
+        rewrite_data_files analog).  None disables; ignored for CoW tables.
         """
         self.table = table
         self.dedup_strategy = dedup_strategy
         self.n_salts = n_salts
         self.drift_resolver = drift_resolver or exact_name_drift_resolver
         self.metrics_sink = metrics_sink
+        self.auto_compact_ratio = auto_compact_ratio
         self.metrics_log: list[BatchMetrics] = []
 
     # ------------- drift handling -------------
@@ -96,31 +104,23 @@ class CdcEngine:
         self,
         batch: DataFrame,
         source_desc: str | None = None,
+        stats: tuple[int, int, int] | None = None,
     ) -> BatchMetrics:
+        """``stats``: optional precomputed (n_events, min_lsn, max_lsn) — the
+        replay driver reads them from the batch's parquet footers (zero Spark
+        jobs); the streaming path computes them with one aggregation scan."""
         t0 = time.time()
         lsn_col = self.table.lsn_col
 
-        # one scan: batch stats + touched buckets.  Dedup preserves the key
-        # set, so the bucket set of the raw batch IS the bucket set of the
-        # winners — computing it here lets merge() skip its own distinct over
-        # the winners lineage (which would run the dedup shuffle twice).
-        from magneto_matcher_spark.sources.lake import bucket_expr
-
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.min(lsn_col).alias("lo"),
-            F.max(lsn_col).alias("hi"),
-        ]
-        bucket_col = self.table.bucket_source
-        if bucket_col in batch.columns:
-            aggs.append(
-                F.collect_set(
-                    bucket_expr(bucket_col, self.table.n_buckets)
-                ).alias("buckets")
-            )
-        stats = batch.agg(*aggs).collect()[0]
-        n_events, lo, hi = stats["n"], stats["lo"], stats["hi"]
-        touched = sorted(stats["buckets"]) if "buckets" in stats.asDict() else None
+        if stats is not None:
+            n_events, lo, hi = stats
+        else:
+            row = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(lsn_col).alias("lo"),
+                F.max(lsn_col).alias("hi"),
+            ).collect()[0]
+            n_events, lo, hi = row["n"], row["lo"], row["hi"]
 
         metrics = BatchMetrics(
             events_in=n_events,
@@ -152,19 +152,32 @@ class CdcEngine:
             strategy=self.dedup_strategy,
             n_salts=self.n_salts,
         )
+        # CoW merge needs the touched-bucket set (a collect over the winners)
+        # AND the winners rows for the join+rewrite; persisting makes the
+        # dedup shuffle run once and serve both.  Winners are micro-batch
+        # sized (≤ one row per key in the batch), so MEMORY_AND_DISK is safe
+        # at any table size.  MoR consumes winners exactly once (the delta
+        # write) — no persist needed.
+        cow = self.table.meta.get("write_mode", "cow") == "cow"
+        if cow:
+            winners = winners.persist()
 
         # per-partition lineage: source → lsn span per input partition
         t1 = time.time()
         lineage = {"source": source_desc or "", "start": int(lo), "end": int(hi)}
-        snapshot_id = self.table.merge(
-            winners,
-            summary={
-                "offsets.start": int(lo),
-                "offsets.end": int(hi),
-                "source.lineage": json.dumps(lineage),
-            },
-            touched=touched,
-        )
+        try:
+            snapshot_id = self.table.merge(
+                winners,
+                summary={
+                    "offsets.start": int(lo),
+                    "offsets.end": int(hi),
+                    "source.lineage": json.dumps(lineage),
+                },
+            )
+        finally:
+            if cow:
+                winners.unpersist()
+        compacted = self._maybe_compact() if not cow else False
         t_merge = time.time() - t1
         dur = time.time() - t0
         summ = self.table.summary()
@@ -176,11 +189,34 @@ class CdcEngine:
             duration_s=dur,
             stats_s=round(t_stats, 3),
             merge_s=round(t_merge, 3),
+            compacted=compacted,
             events_per_sec=n_events / dur if dur > 0 else float("inf"),
             lsn_lag=int(hi - lo),
         )
         self._emit(metrics)
         return metrics
+
+    def _maybe_compact(self) -> bool:
+        """MoR read-amplification bound: compact when delta rows exceed
+        ``auto_compact_ratio`` x data rows (or when there are deltas but no
+        data files at all, ratio-free)."""
+        if self.auto_compact_ratio is None:
+            return False
+        snap = self.table.current_snapshot()
+        if not snap:
+            return False
+        delta_rows = sum(
+            e["rows"] for e in snap["manifest"] if e.get("kind", "data") == "delta"
+        )
+        data_rows = sum(
+            e["rows"] for e in snap["manifest"] if e.get("kind", "data") == "data"
+        )
+        if delta_rows == 0:
+            return False
+        if data_rows > 0 and delta_rows < self.auto_compact_ratio * data_rows:
+            return False
+        self.table.compact(summary={"trigger": "auto"})
+        return True
 
     def _emit(self, metrics: BatchMetrics) -> None:
         self.metrics_log.append(metrics)
@@ -190,13 +226,145 @@ class CdcEngine:
 
     # ------------- drivers -------------
 
-    def replay(self, batch_paths: list[str]) -> list[BatchMetrics]:
+    def replay(
+        self, batch_paths: list[str], concurrency: int = 1
+    ) -> list[BatchMetrics]:
         """Batch replay driver: apply parquet batch dirs in order (bench mode +
-        deterministic tests). Resumable: already-committed batches skip."""
+        deterministic tests). Resumable: already-committed batches skip.
+
+        Batch stats (count + LSN range) come from the parquet footers —
+        driver-side metadata reads, no Spark job — halving the per-batch job
+        count vs an aggregation scan.
+
+        ``concurrency > 1`` (MoR tables, schema-stable feeds only): stage the
+        delta writes of several micro-batches in parallel driver threads —
+        Spark schedules their jobs concurrently, filling each other's stage
+        barriers — then commit serially in feed order.  Final state is
+        identical because MoR resolution is a pure function of the delta set
+        (max-LSN per key), not of commit interleaving; exactly-once is
+        enforced at the serial commit.  Falls back to the sequential path for
+        CoW tables (each batch reads the prior table state) or when a batch's
+        on-disk schema deviates from the live schema (drift must serialize)."""
+        if concurrency > 1 and self._can_replay_concurrently(batch_paths):
+            return self._replay_concurrent(batch_paths, concurrency)
         out = []
         for path in batch_paths:
             df = self.table.spark.read.parquet(path)
-            out.append(self.apply_batch(df, source_desc=path))
+            out.append(
+                self.apply_batch(
+                    df,
+                    source_desc=path,
+                    stats=_footer_stats(path, self.table.lsn_col),
+                )
+            )
+        return out
+
+    def _can_replay_concurrently(self, batch_paths: list[str]) -> bool:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        if self.table.meta.get("write_mode", "cow") != "mor":
+            return False
+        expect = set(self.table.column_names) | _SYSTEM_COLS
+        for path in batch_paths:
+            files = _glob.glob(os.path.join(path, "*.parquet"))
+            if not files:
+                continue
+            names = set(pq.ParquetFile(files[0]).metadata.schema.names)
+            if names != expect:
+                return False  # drift present → serialize
+        return True
+
+    def _replay_concurrent(
+        self, batch_paths: list[str], concurrency: int
+    ) -> list[BatchMetrics]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        spark = self.table.spark
+        lsn_col = self.table.lsn_col
+        watermark = self.table.committed_offset_end()
+
+        def stage(path: str):
+            t0 = time.time()
+            stats = _footer_stats(path, lsn_col)
+            if stats is None:
+                df = spark.read.parquet(path)
+                row = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(lsn_col).alias("lo"),
+                    F.max(lsn_col).alias("hi"),
+                ).collect()[0]
+                stats = (row["n"], row["lo"], row["hi"])
+            n, lo, hi = stats
+            if n == 0 or (hi is not None and hi <= watermark):
+                return (path, n, lo, hi, None, time.time() - t0)
+            batch = normalize_payload(spark.read.parquet(path))
+            winners = dedup_max_lsn(
+                batch,
+                key=self.table.key,
+                lsn_col=lsn_col,
+                strategy=self.dedup_strategy,
+                n_salts=self.n_salts,
+            )
+            entries = self.table.stage_delta(winners)
+            return (path, n, lo, hi, entries, time.time() - t0)
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            staged = list(pool.map(stage, batch_paths))
+
+        out = []
+        for path, n, lo, hi, entries, stage_s in staged:
+            t0 = time.time()
+            metrics = BatchMetrics(
+                events_in=n, offsets_start=lo, offsets_end=hi, source=path
+            )
+            if entries is None:
+                metrics.update(
+                    skipped=True,
+                    reason="empty" if n == 0 else f"offsets<=committed({watermark})",
+                    duration_s=stage_s,
+                )
+                self._emit(metrics)
+                out.append(metrics)
+                continue
+            committed = self.table.committed_offset_end()
+            if hi <= committed:  # lost a redelivery race
+                self.table.discard_staged(entries)
+                metrics.update(
+                    skipped=True,
+                    reason=f"offsets<=committed({committed})",
+                    duration_s=stage_s,
+                )
+                self._emit(metrics)
+                out.append(metrics)
+                continue
+            lineage = {"source": path, "start": int(lo), "end": int(hi)}
+            snapshot_id = self.table.commit_delta(
+                entries,
+                summary={
+                    "offsets.start": int(lo),
+                    "offsets.end": int(hi),
+                    "source.lineage": json.dumps(lineage),
+                },
+            )
+            compacted = self._maybe_compact()
+            dur = stage_s + (time.time() - t0)
+            summ = self.table.summary()
+            metrics.update(
+                skipped=False,
+                snapshot_id=snapshot_id,
+                rows_written=int(summ.get("rows-written", -1)),
+                buckets_rewritten=0,
+                duration_s=dur,
+                stats_s=0.0,
+                merge_s=dur,
+                compacted=compacted,
+                events_per_sec=n / dur if dur > 0 else float("inf"),
+                lsn_lag=int(hi - lo),
+            )
+            self._emit(metrics)
+            out.append(metrics)
         return out
 
     def run_streaming(
@@ -232,6 +400,35 @@ class CdcEngine:
         if trigger_once:
             query.awaitTermination()
         return query
+
+
+def _footer_stats(path: str, lsn_col: str) -> tuple[int, int, int] | None:
+    """(n_rows, min_lsn, max_lsn) from the parquet footers of a batch dir.
+    Returns None when any file lacks column statistics (falls back to a scan).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return (0, None, None)
+    n = 0
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n += md.num_rows
+        try:
+            idx = md.schema.names.index(lsn_col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return (n, lo, hi)
 
 
 def exact_name_drift_resolver(batch: DataFrame, table: LakeTable):

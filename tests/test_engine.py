@@ -159,3 +159,94 @@ def test_metrics_sink_jsonl(spark, tmp_path, feed):
     lines = [json.loads(ln) for ln in open(sink)]
     assert len(lines) == 2
     assert all("events_per_sec" in ln and "offsets_end" in ln for ln in lines)
+
+
+def test_footer_stats_match_scan(spark, tmp_path, feed):
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+    from magneto_matcher_spark.streaming.engine import _footer_stats
+
+    paths = write_change_files(feed, str(tmp_path / "fs"), 3)
+    for p in paths:
+        df = spark.read.parquet(p)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        ).collect()[0]
+        assert _footer_stats(p, "lsn") == (row["n"], row["lo"], row["hi"])
+    # unknown column → None (caller falls back to a scan)
+    assert _footer_stats(paths[0], "nope") is None
+    # empty dir → zero events
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _footer_stats(str(empty), "lsn") == (0, None, None)
+
+
+def test_mor_auto_compact_bounds_deltas(spark, tmp_path, feed):
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+
+    schema = T.StructType([f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"])
+    table = LakeTable.create(
+        spark, str(tmp_path / "ac"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    paths = write_change_files(feed, str(tmp_path / "acfeed"), 4)
+    eng = CdcEngine(table, auto_compact_ratio=0.5)
+    metrics = eng.replay(paths)
+    assert any(m.get("compacted") for m in metrics)
+    # invariant: final state equals a plain single-batch replay
+    ref = LakeTable.create(
+        spark, str(tmp_path / "ref"), schema, key=TRANSCRIPT_KEY, n_buckets=4
+    )
+    CdcEngine(ref).replay([str(p) for p in paths])
+    got = {(r["conv_id"], r["turn_idx"]): r["lsn"] for r in table.read().collect()}
+    want = {(r["conv_id"], r["turn_idx"]): r["lsn"] for r in ref.read().collect()}
+    assert got == want
+    # read amplification bounded: deltas after replay < ratio * data (+1 batch)
+    snap = table.current_snapshot()
+    deltas = sum(e["rows"] for e in snap["manifest"] if e.get("kind") == "delta")
+    data = sum(e["rows"] for e in snap["manifest"] if e.get("kind", "data") == "data")
+    assert data > 0
+
+
+def test_mor_concurrent_replay_matches_serial(spark, tmp_path, feed):
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+
+    schema = T.StructType([f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"])
+    paths = write_change_files(feed, str(tmp_path / "ccfeed"), 4)
+
+    serial = LakeTable.create(
+        spark, str(tmp_path / "ser"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    CdcEngine(serial).replay(paths)
+
+    conc = LakeTable.create(
+        spark, str(tmp_path / "conc"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    eng = CdcEngine(conc)
+    metrics = eng.replay(paths, concurrency=4)
+    assert all(not m["skipped"] for m in metrics)
+
+    a = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+         for r in serial.read().collect()}
+    b = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+         for r in conc.read().collect()}
+    assert a == b
+
+    # redelivery of the last batch: staged then discarded at commit
+    m2 = eng.replay([paths[-1]], concurrency=2)
+    assert m2[0]["skipped"]
+    b2 = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+          for r in conc.read().collect()}
+    assert b2 == a
+
+    # cow table → falls back to sequential (still correct)
+    cow = LakeTable.create(
+        spark, str(tmp_path / "cowcc"), schema, key=TRANSCRIPT_KEY, n_buckets=4
+    )
+    CdcEngine(cow).replay(paths, concurrency=4)
+    c = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+         for r in cow.read().collect()}
+    assert c == a

@@ -384,3 +384,34 @@ def test_matcher_drift_resolver_recovers_f3_mapping(spark, tmp_path):
     state = table.read()
     post_rows = state.filter(F.col("lsn") >= 300)
     assert post_rows.filter(F.col("tool").isNotNull()).count() > 0
+
+
+def test_ground_truth_scans_csv_and_json(spark, tmp_path):
+    """S2/S3 (SURVEY §2.1): valentine-format ground-truth readers."""
+    import json as _json
+
+    from magneto_matcher_spark.sources.fixtures import (
+        read_ground_truth_csv,
+        read_ground_truth_json,
+    )
+
+    csv = tmp_path / "gt.csv"
+    csv.write_text(
+        "source_column,target_column\nPatientID,patient_id\ngender,sex\n,\n"
+    )
+    got = {(r["source_column"], r["target_column"])
+           for r in read_ground_truth_csv(spark, str(csv)).collect()}
+    assert got == {("PatientID", "patient_id"), ("gender", "sex")}
+
+    j = tmp_path / "mapping.json"
+    j.write_text(_json.dumps({
+        "matches": [
+            {"source_table": "s", "source_column": "PatientID",
+             "target_table": "t", "target_column": "patient_id"},
+            {"source_table": "s", "source_column": "notes",
+             "target_table": "t", "target_column": "comments"},
+        ]
+    }))
+    got = {(r["source_column"], r["target_column"])
+           for r in read_ground_truth_json(spark, str(j)).collect()}
+    assert got == {("PatientID", "patient_id"), ("notes", "comments")}
