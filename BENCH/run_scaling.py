@@ -74,26 +74,41 @@ def run_level(cpus: int, n_events: int, n_batches: int, feed_dir: str) -> dict:
 
 
 def _bw_burn(_):
+    """One worker's streaming-read bandwidth (GB/s), timed INSIDE the worker.
+
+    The buffer is written before timing — np.zeros alone maps the kernel's
+    shared zero page, so summing it would measure cache/zero-page reads, not
+    DRAM.  Allocation/fill and Pool spawn overhead are outside the timed
+    region; only the summation passes are timed."""
+    import time as _time
+
     import numpy as np
 
-    a = np.zeros(200_000_000 // 8)
-    s = 0.0
-    for _ in range(5):
+    n = 200_000_000 // 8
+    a = np.empty(n)
+    a[:] = 1.0  # touch every page: forces real physical backing
+    s = a.sum()  # untimed warm pass
+    t0 = _time.time()
+    passes = 5
+    for _ in range(passes):
         s += a.sum()
-    return s
+    dt = _time.time() - t0
+    gb = passes * n * 8 / 1e9
+    return gb / dt if dt > 0 else 0.0
 
 
 def measure_mem_bandwidth() -> dict[int, float]:
-    """Aggregate streaming-read bandwidth (GB/s) at 1/2/8/32 processes —
-    the hardware context for interpreting thread-scaling numbers."""
+    """Aggregate streaming-read bandwidth (GB/s) at 1/2/4/8/32 concurrent
+    processes — the hardware context for interpreting thread-scaling numbers.
+    Aggregate = sum of per-worker in-region bandwidths (each worker times its
+    own summation loop, so pool startup skew doesn't pollute the figure)."""
     import multiprocessing as mp
 
     out = {}
     for n in (1, 2, 4, 8, 32):
-        t0 = time.time()
         with mp.Pool(n) as p:
-            p.map(_bw_burn, range(n))
-        out[n] = round(n * 0.2 * 5 / (time.time() - t0), 1)
+            per_worker = p.map(_bw_burn, range(n))
+        out[n] = round(sum(per_worker), 1)
     return out
 
 

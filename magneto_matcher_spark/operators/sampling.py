@@ -40,14 +40,18 @@ MODES = (
     "consistent_sampling",
 )
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _unit_hash(value_col, seed: int = 42):
     """Deterministic hash of a value into (0, 1]: fibonacci scrambling of
-    xxhash64, the Spark stand-in for fibonacci_hash(mmh3.hash(str(v), 42))."""
-    h = F.pmod(F.xxhash64(F.lit(seed), value_col), F.lit(_MERSENNE)).cast("double")
-    frac = (h * F.lit(PHI_FRACTION)) % F.lit(1.0)
+    xxhash64, the Spark stand-in for fibonacci_hash(mmh3.hash(str(v), 42)).
+
+    The hash is bounded below 2^32 BEFORE the golden-ratio multiply (matching
+    the reference's 32-bit mmh3 input): for a ~2^61 hash the double-precision
+    product's ULP exceeds 1, so its fractional part is almost always exactly
+    0.0 and every value would collapse to the sentinel.  At 2^32 the product
+    is ≤ ~2.7e9 whose ULP is ~4.8e-7 — the fractional part keeps ~21
+    significant bits, plenty to order samples deterministically."""
+    h32 = F.pmod(F.xxhash64(F.lit(seed), value_col), F.lit(1 << 32)).cast("double")
+    frac = (h32 * F.lit(PHI_FRACTION)) % F.lit(1.0)
     # avoid exact zero (division by it in priority mode)
     return F.when(frac == 0.0, F.lit(1e-18)).otherwise(frac)
 
@@ -178,11 +182,14 @@ def _collect_by_priority(counts: DataFrame, priority, n: int, small) -> DataFram
         .withColumn("_rn", F.row_number().over(order))
         .filter(small | (F.col("_rn") <= n))
     )
-    # keep priority order in the output array (reference utils.py:286-287)
+    # priority order in the output array (reference utils.py:286-287) — except
+    # the ≤n-uniques whole-set case, which the reference sorts (utils.py:235):
+    # a constant sort key there makes array_sort fall through to the value.
+    sort_key = F.when(small, F.lit(0.0)).otherwise(-F.col("_pr"))
     return picked.groupBy("col_name").agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct((-F.col("_pr")).alias("np"), F.col("value")))
+                F.collect_list(F.struct(sort_key.alias("np"), F.col("value")))
             ),
             lambda s: s["value"],
         ).alias("samples")

@@ -165,10 +165,18 @@ _FP_POWS = [(_FP_BASE**i) for i in range(_FP_WINDOW)]
 
 def fingerprint_expr(text: Column) -> Column:
     """Deterministic document fingerprint: position-weighted polynomial hash
-    ``(Σ_i ascii(char_i) · 31^(i mod 8)) mod 1e9+7`` — rolling-hash style but
-    reduce-free, so the identical arithmetic runs in Spark and DuckDB
-    (max per-term 127·31^7 ≈ 3.5e12; safe in int64 up to ~2.6e6 chars)."""
-    chars = F.split(text, "")
+    ``(Σ_i ascii(char_i) · 31^(i mod 8)) mod 1e9+7`` over the printable-ASCII
+    projection of the text — rolling-hash style but reduce-free, so the
+    identical arithmetic runs in Spark and DuckDB (max per-term 127·31^7 ≈
+    3.5e12; safe in int64 up to ~2.6e6 chars).
+
+    Non-ASCII is stripped BEFORE hashing on both engines: Spark's ``split``
+    tokenizes by UTF-16 code units (an astral-plane char becomes two unpaired
+    surrogates) while DuckDB iterates Unicode code points, and ``ascii()``
+    disagrees between the two beyond 0x7F — restricting the hash to
+    0x20-0x7E makes the positions and char codes engine-independent."""
+    ascii_text = F.regexp_replace(text, r"[^\x20-\x7E]", "")
+    chars = F.split(ascii_text, "")
     pow_arr = F.array(*[F.lit(p).cast("long") for p in _FP_POWS])
     weighted = F.transform(
         chars,

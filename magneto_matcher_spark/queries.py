@@ -978,14 +978,18 @@ def text_lang_id(spark, sf_dir):
 
 @q(
     "text_fingerprint",
-    """
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS a
+      FROM documents WHERE length(text) > 0
+    )
     SELECT doc_id,
-           list_sum(list_transform(range(1, length(text) + 1),
-             i -> ascii(substr(text, cast(i AS INT), 1)) *
+           coalesce(list_sum(list_transform(range(1, length(a) + 1),
+             i -> ascii(substr(a, cast(i AS INT), 1)) *
                   ([1,31,961,29791,923521,28629151,887503681,27512614111])
-                    [cast((i - 1) % 8 AS INT) + 1]))
+                    [cast((i - 1) % 8 AS INT) + 1])), 0)
            % 1000000007 AS fingerprint
-    FROM documents WHERE length(text) > 0
+    FROM t
     """,
 )
 def text_fingerprint(spark, sf_dir):

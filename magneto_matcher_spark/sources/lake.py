@@ -97,6 +97,7 @@ class LakeTable:
         bucket_col: str | None = None,
         lsn_col: str = "lsn",
         write_mode: str = "cow",
+        files_per_bucket: int = 1,
     ) -> "LakeTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -121,6 +122,7 @@ class LakeTable:
             "key": key,
             "lsn_column": lsn_col,
             "write_mode": write_mode,
+            "files_per_bucket": max(1, int(files_per_bucket)),
             "snapshots": [],
             "current_snapshot_id": None,
         }
@@ -250,29 +252,74 @@ class LakeTable:
             )
         return self._resolve(snap["manifest"], read_schema_id)
 
-    def _resolve(self, manifest: list[dict], read_schema_id: int) -> DataFrame:
+    def _resolve(
+        self,
+        manifest: list[dict],
+        read_schema_id: int,
+        keep_tombstones: bool = False,
+    ) -> DataFrame:
         """Merge-on-read resolution: base data files ∪ delta files → max-LSN
         winner per key, delete winners invisible (Iceberg v2 equality-delete
         semantics; deltas are whole-row upsert/delete records keyed by the
-        table key + LSN).  Pure-CoW manifests (no deltas) short-circuit to a
-        plain scan."""
+        table key + LSN).
+
+        Bucket-pruned: both sides are bucketed by the same
+        ``pmod(xxhash64(key))``, so a bucket with NO delta files needs no
+        dedup at all — those buckets are plain-scanned and unioned with the
+        resolved dirty buckets.  At 100 TB this makes a read O(touched
+        buckets), not O(table).  Pure-CoW manifests (no deltas) short-circuit
+        to a plain scan entirely.
+
+        ``kind='tombstone'`` entries are compaction-retained delete winners
+        (see :meth:`compact`): they only matter against OTHER deltas (a stale
+        pre-watermark 'U' redelivered after compaction must lose the LSN
+        comparison instead of resurrecting the key), never against data files
+        — so buckets whose only non-data entries are tombstones stay on the
+        plain-scan path.
+
+        ``keep_tombstones=True`` returns every winner including deletes, with
+        the ``op`` column (compaction's input)."""
         data = [e for e in manifest if e.get("kind", "data") == "data"]
         deltas = [e for e in manifest if e.get("kind", "data") == "delta"]
-        base = (
-            self._read_manifest(data, read_schema_id)
-            if data
-            else self.spark.createDataFrame([], self._schema_for(read_schema_id))
-        )
-        if not deltas:
+        tombs = [e for e in manifest if e.get("kind", "data") == "tombstone"]
+
+        empty = self.spark.createDataFrame([], self._schema_for(read_schema_id))
+        if not deltas and not (keep_tombstones and tombs):
+            base = self._read_manifest(data, read_schema_id) if data else empty
+            if keep_tombstones:
+                base = base.withColumn("op", F.lit("U"))
             return base
+
         from magneto_matcher_spark.plans.apply import dedup_max_lsn
 
-        delta_df = self._read_manifest(deltas, read_schema_id, extra_cols=("op",))
-        union = base.withColumn("op", F.lit("U")).unionByName(delta_df)
+        dirty_buckets = {e["bucket"] for e in deltas}
+        if keep_tombstones:
+            dirty_buckets |= {e["bucket"] for e in tombs}
+        clean_data = [e for e in data if e["bucket"] not in dirty_buckets]
+        dirty_data = [e for e in data if e["bucket"] in dirty_buckets]
+        dirty_tombs = [e for e in tombs if e["bucket"] in dirty_buckets]
+
+        dirty_base = (
+            self._read_manifest(dirty_data, read_schema_id) if dirty_data else empty
+        )
+        union = dirty_base.withColumn("op", F.lit("U"))
+        overlay = [e for e in deltas + dirty_tombs]
+        if overlay:
+            union = union.unionByName(
+                self._read_manifest(overlay, read_schema_id, extra_cols=("op",))
+            )
         winners = dedup_max_lsn(
             union, key=self.key, lsn_col=self.lsn_col, strategy="agg"
         )
-        return winners.filter(F.col("op") != F.lit("D")).drop("op")
+        if not keep_tombstones:
+            winners = winners.filter(F.col("op") != F.lit("D")).drop("op")
+
+        clean = self._read_manifest(clean_data, read_schema_id) if clean_data else None
+        if clean is None:
+            return winners
+        if keep_tombstones:
+            clean = clean.withColumn("op", F.lit("U"))
+        return clean.unionByName(winners)
 
     def _schema_for(self, schema_id: int) -> T.StructType:
         return T.StructType(
@@ -342,11 +389,26 @@ class LakeTable:
     ) -> list[dict]:
         """Write ``df`` (current schema + ``_bucket``) partitioned by bucket
         under ``data/{dirname}/``; return manifest entries.  ``kind='delta'``
-        marks merge-on-read change files (payload + ``op``)."""
+        marks merge-on-read change files (payload + ``op``).
+
+        Parallelism: repartitioning on ``_bucket`` alone caps the write at
+        ≤ n_buckets non-empty tasks (fewer after hash collisions) no matter
+        how many cores exist — so rows are sub-split inside each bucket by a
+        key hash (``files_per_bucket`` files per bucket, deterministic), the
+        same trick the feed generator uses (sources/changefeed.py:155-159).
+        Bucket membership is untouched; readers see k files per bucket."""
         out_dir = os.path.join(self.root, "data", dirname)
         t0 = time.time()
+        fpb = int(self.meta.get("files_per_bucket", 1))
+        if fpb > 1:
+            sub = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key]), F.lit(fpb)
+            ).cast("int")
+            shaped = df.repartition(self.n_buckets * fpb, F.col("_bucket"), sub)
+        else:
+            shaped = df.repartition(self.n_buckets, F.col("_bucket"))
         (
-            df.repartition(F.col("_bucket"))
+            shaped
             .sortWithinPartitions(*self.key)  # W7: file-level determinism
             .write.partitionBy("_bucket")
             .mode("overwrite")
@@ -546,25 +608,62 @@ class LakeTable:
             _shutil.rmtree(os.path.dirname(d) if "_bucket=" in os.path.basename(d) else d,
                            ignore_errors=True)
 
-    def compact(self, summary: dict | None = None) -> int:
+    def compact(
+        self,
+        summary: dict | None = None,
+        tombstone_retention_lsn: int | None = None,
+    ) -> int:
         """Fold delta files into data files (MoR maintenance).  Resolves the
         current state once and rewrites it; subsequent reads are plain scans
         again.  At scale this is the Iceberg ``rewrite_data_files`` analog —
-        run when delta rows exceed a fraction of base rows."""
+        run when delta rows exceed a fraction of base rows.
+
+        Delete winners are NOT discarded: they are rewritten as
+        ``kind='tombstone'`` entries (Iceberg's equality-delete retention
+        analog), so a partially-overlapping redelivery after compaction — an
+        older 'U' for a deleted key — still loses the LSN comparison instead
+        of resurrecting the key (the engine's exactly-once contract).
+        Tombstones are ignored by plain reads of delta-free buckets, so they
+        cost nothing until a new delta lands in their bucket.
+
+        ``tombstone_retention_lsn``: GC horizon — tombstones with
+        ``lsn <= horizon`` are dropped (safe once the caller knows no
+        redelivery can reach below that LSN, e.g. the source's acked offset)."""
         snapshot_id = self._next_snapshot_id()
         cur = self.current_snapshot()
         manifest = list(cur["manifest"]) if cur else []
-        deltas = [e for e in manifest if e.get("kind", "data") == "delta"]
-        if not deltas:
+        folded = [e for e in manifest if e.get("kind", "data") != "data"]
+        has_deltas = any(e.get("kind", "data") == "delta" for e in folded)
+        # tombstone-only manifests are already plain-scan fast; rewriting them
+        # is only worth it when a GC horizon lets us actually drop tombstones
+        if not has_deltas and not (folded and tombstone_retention_lsn is not None):
             return self._commit("compact", manifest, {"noop": True, **(summary or {})})
-        resolved = self.read().select(*self.column_names)
-        new_entries = self._write_data_files(self._with_bucket(resolved), f"snap-{snapshot_id}")
+
+        winners = self._resolve(
+            manifest, self.meta["current_schema_id"], keep_tombstones=True
+        ).persist()
+        try:
+            live = winners.filter(F.col("op") != F.lit("D")).select(*self.column_names)
+            new_entries = self._write_data_files(
+                self._with_bucket(live), f"snap-{snapshot_id}"
+            )
+            tombs = winners.filter(F.col("op") == F.lit("D"))
+            if tombstone_retention_lsn is not None:
+                tombs = tombs.filter(F.col(self.lsn_col) > tombstone_retention_lsn)
+            tomb_entries = self._write_data_files(
+                self._with_bucket(tombs.select(*self.column_names, "op")),
+                f"tomb-{snapshot_id}",
+                kind="tombstone",
+            )
+        finally:
+            winners.unpersist()
         s = {
             "rows-written": sum(e["rows"] for e in new_entries),
-            "deltas-folded": len(deltas),
+            "deltas-folded": len(folded),
+            "tombstones-retained": sum(e["rows"] for e in tomb_entries),
         }
         s.update(summary or {})
-        return self._commit("compact", new_entries, s)
+        return self._commit("compact", new_entries + tomb_entries, s)
 
     # ---------------- schema evolution ----------------
 

@@ -143,8 +143,12 @@ class CdcEngine:
             return metrics
 
         t_stats = time.time() - t0
-        batch = normalize_payload(batch)
+        # drift first, normalize second: a drift-renamed column (e.g.
+        # tool_name → tool) must land under its table name BEFORE the
+        # name-keyed normalizer runs, or renamed payloads would be written
+        # un-normalized (null-normalize/trim/cast skipped).
         batch = self._resolve_drift(batch)
+        batch = normalize_payload(batch)
         winners = dedup_max_lsn(
             batch,
             key=self.table.key,
@@ -249,14 +253,19 @@ class CdcEngine:
             return self._replay_concurrent(batch_paths, concurrency)
         out = []
         for path in batch_paths:
-            df = self.table.spark.read.parquet(path)
-            out.append(
-                self.apply_batch(
-                    df,
-                    source_desc=path,
-                    stats=_footer_stats(path, self.table.lsn_col),
+            stats = _footer_stats(path, self.table.lsn_col)
+            if stats is not None and stats[0] == 0:
+                # empty batch dir: don't read it — schema inference on an
+                # empty parquet directory throws before the skip could run
+                metrics = BatchMetrics(
+                    events_in=0, offsets_start=None, offsets_end=None,
+                    source=path, skipped=True, reason="empty", duration_s=0.0,
                 )
-            )
+                self._emit(metrics)
+                out.append(metrics)
+                continue
+            df = self.table.spark.read.parquet(path)
+            out.append(self.apply_batch(df, source_desc=path, stats=stats))
         return out
 
     def _can_replay_concurrently(self, batch_paths: list[str]) -> bool:

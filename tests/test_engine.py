@@ -148,6 +148,27 @@ def _count_keys(feed):
     return len(state)
 
 
+def test_drift_renamed_column_is_normalized(spark, tmp_path):
+    """Regression: drift resolution must run BEFORE payload normalization, so
+    a renamed column's values (e.g. Tool → tool) still get null-normalized —
+    previously the normalizer ran first and never saw the renamed column."""
+    feed = generate_change_feed(spark, 200, n_convs=4, turns_per_conv=4)
+    table = _mk_table(spark, tmp_path)
+    engine = CdcEngine(table)
+    engine.apply_batch(feed.filter(F.col("lsn") < 100), source_desc="b1")
+
+    dirty = (
+        feed.filter(F.col("lsn") >= 100)
+        .withColumn("tool", F.lit("N/A"))  # domain-null that must normalize
+        .withColumnRenamed("tool", "Tool")  # cleaned-name match → rename
+    )
+    engine.apply_batch(dirty, source_desc="b2-drift")
+    assert set(table.column_names) == {f.name for f in TABLE_SCHEMA.fields}
+    post = table.read().filter(F.col("lsn") >= 100)
+    assert post.count() > 0
+    assert post.filter(F.col("tool").isNotNull()).count() == 0
+
+
 def test_metrics_sink_jsonl(spark, tmp_path, feed):
     import json
 
@@ -159,6 +180,18 @@ def test_metrics_sink_jsonl(spark, tmp_path, feed):
     lines = [json.loads(ln) for ln in open(sink)]
     assert len(lines) == 2
     assert all("events_per_sec" in ln and "offsets_end" in ln for ln in lines)
+
+
+def test_replay_empty_batch_dir_skips(spark, tmp_path, feed):
+    """Regression: replaying an empty batch dir must skip, not throw at
+    parquet schema inference."""
+    paths = write_change_files(feed.filter(F.col("lsn") < 600), str(tmp_path / "f"), 1)
+    empty = tmp_path / "empty_batch"
+    empty.mkdir()
+    table = _mk_table(spark, tmp_path)
+    metrics = CdcEngine(table).replay([str(empty), *paths])
+    assert metrics[0]["skipped"] and metrics[0]["reason"] == "empty"
+    assert not metrics[1]["skipped"]
 
 
 def test_footer_stats_match_scan(spark, tmp_path, feed):

@@ -205,13 +205,89 @@ def test_mor_compact_folds_deltas_and_preserves_state(spark, mor_table):
               for r in mor_table.read().collect()}
     mor_table.compact()
     manifest = mor_table.current_snapshot()["manifest"]
-    assert all(e.get("kind", "data") == "data" for e in manifest)
+    kinds = {e.get("kind", "data") for e in manifest}
+    assert "delta" not in kinds  # deltas folded; tombstones retained
     after = {(r["conv_id"], r["turn_idx"]): r["text"]
              for r in mor_table.read().collect()}
     assert after == before
     # compact on a delta-free table is a no-op commit
     sid = mor_table.compact()
     assert mor_table.summary(sid).get("noop") == "True"
+
+
+def test_compact_retains_tombstones_against_stale_redelivery(spark, mor_table):
+    """A delete folded by compact must still beat an older redelivered 'U'
+    for the same key (partially-overlapping redelivery contract)."""
+    _apply_batches(mor_table, spark)  # (c1,1) deleted at lsn 5
+    mor_table.compact()
+    manifest = mor_table.current_snapshot()["manifest"]
+    tombs = [e for e in manifest if e.get("kind") == "tombstone"]
+    assert sum(e["rows"] for e in tombs) == 1
+
+    stale = spark.createDataFrame([_ev(2, "U", "c1", 1, "zombie")], CHANGE_FEED_SCHEMA)
+    mor_table.merge(dedup_max_lsn(stale))
+    keys = {(r["conv_id"], r["turn_idx"]) for r in mor_table.read().collect()}
+    assert ("c1", 1) not in keys  # tombstone (lsn 5) beats stale U (lsn 2)
+
+    # ...while a genuinely newer insert resurrects the key
+    fresh = spark.createDataFrame([_ev(9, "I", "c1", 1, "reborn")], CHANGE_FEED_SCHEMA)
+    mor_table.merge(dedup_max_lsn(fresh))
+    state = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in mor_table.read().collect()}
+    assert state[("c1", 1)] == "reborn"
+
+
+def test_compact_tombstone_gc_horizon(spark, mor_table):
+    _apply_batches(mor_table, spark)
+    mor_table.compact()
+    assert any(e.get("kind") == "tombstone"
+               for e in mor_table.current_snapshot()["manifest"])
+    # GC pass: horizon above the delete's lsn (5) drops the tombstone
+    mor_table.compact(tombstone_retention_lsn=10)
+    manifest = mor_table.current_snapshot()["manifest"]
+    assert not any(e.get("kind") == "tombstone" for e in manifest)
+    assert {(r["conv_id"], r["turn_idx"]) for r in mor_table.read().collect()} == {
+        ("c1", 0), ("c2", 0)
+    }
+
+
+def test_mor_read_prunes_clean_buckets(spark, mor_table):
+    """Buckets without delta files resolve as a plain scan — no shuffle."""
+    seed = spark.createDataFrame(
+        [_ev(i, "I", f"conv{i}", 0) for i in range(40)], CHANGE_FEED_SCHEMA
+    )
+    mor_table.merge(dedup_max_lsn(seed))
+    mor_table.compact()  # fold the seed deltas into data files
+    upd = spark.createDataFrame([_ev(100, "U", "conv7", 0, "upd")], CHANGE_FEED_SCHEMA)
+    mor_table.merge(dedup_max_lsn(upd))
+
+    dirty = {e["bucket"] for e in mor_table.current_snapshot()["manifest"]
+             if e.get("kind") == "delta" and e["rows"] > 0}
+    assert len(dirty) == 1
+    clean = [b for b in range(4) if b not in dirty]
+    plan = mor_table.read_buckets(clean)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pruned: no dedup shuffle for clean buckets
+
+    state = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in mor_table.read().collect()}
+    assert state[("conv7", 0)] == "upd" and len(state) == 40
+
+
+def test_files_per_bucket_subsplit(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "fpb"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=2, files_per_bucket=4,
+    )
+    df = spark.createDataFrame(
+        [_ev(i, "I", f"conv{i}", i % 5) for i in range(200)], CHANGE_FEED_SCHEMA
+    )
+    t.merge(dedup_max_lsn(df))
+    manifest = t.current_snapshot()["manifest"]
+    by_bucket: dict = {}
+    for e in manifest:
+        by_bucket.setdefault(e["bucket"], []).append(e)
+    assert all(len(v) > 1 for v in by_bucket.values())  # sub-split took effect
+    assert t.read().count() == 200
 
 
 def test_mor_time_travel_resolves_historic_deltas(spark, mor_table):

@@ -108,6 +108,24 @@ def test_sampling_small_column_returns_all_sorted(spark):
     assert out == ["a", "b", "c"]
 
 
+def test_unit_hash_not_degenerate(spark):
+    """Regression: the golden-ratio fraction must be computed from a hash
+    bounded below 2^32 — multiplying a ~2^61 hash by PHI in doubles makes the
+    product's ULP exceed 1, collapsing ~99.8% of values to the zero sentinel
+    (priority/consistent/weighted modes then degenerate to frequency order)."""
+    from magneto_matcher_spark.operators.sampling import _unit_hash
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("value"))
+    row = df.select(_unit_hash(F.col("value")).alias("u")).agg(
+        F.count_distinct("u").alias("nd"),
+        F.sum((F.col("u") == 1e-18).cast("int")).alias("sentinels"),
+    ).collect()[0]
+    assert row["sentinels"] == 0
+    assert row["nd"] > 9_500  # near-unique fractions, not a collapsed constant
+
+
 def test_sampling_frequent_top_counts(spark):
     df = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1 + [("w",)] * 2, ["v"])
     out = sample_columns(df, n=2, mode="frequent").collect()[0]["samples"]
