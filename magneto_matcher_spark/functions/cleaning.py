@@ -121,6 +121,19 @@ def clean_column_name_expr(c: Column) -> Column:
     return F.trim(out)
 
 
+def clean_column_name(name: str) -> str:
+    """P3, Python twin of :func:`clean_column_name_expr` for driver-side
+    metadata work (schema-drift name matching) — identical regex chain."""
+    import re
+
+    out = name.strip()
+    out = re.sub(r"(?<=[a-z])(?=[A-Z])", " ", out)
+    out = out.lower()
+    out = re.sub(r"[^a-zA-Z0-9\s]", " ", out)
+    out = re.sub(r"\s+", " ", out)
+    return out.strip()
+
+
 def preprocess_string_expr(c: Column) -> Column:
     """P4: drop all non-alphanumerics, lowercase. utils.py:70-72."""
     return F.lower(F.regexp_replace(c, r"[^a-zA-Z0-9]", ""))

@@ -37,10 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from magneto_matcher_spark.functions.cleaning import BINARY_VALUES
-from magneto_matcher_spark.operators.sampling import (
-    samples_from_counts,
-    value_counts,
-)
+from magneto_matcher_spark.operators.sampling import melt, samples_from_counts
 
 #: key-ish name prefixes/suffixes (reference utils/constants.py:47-67 spirit).
 KEY_REPRESENTATIONS = [
@@ -82,6 +79,153 @@ def _is_keyish_name(name: str) -> bool:
     return any(low.startswith(rep) or low.endswith(rep) for rep in KEY_REPRESENTATIONS)
 
 
+def profile_rows_multi(
+    tables: list[tuple[DataFrame, str]],
+    n_samples: int = 10,
+    sample_mode: str = "mixed",
+    key_threshold: float = 0.8,
+    numeric_threshold: float = 0.90,
+) -> dict[str, list[tuple]]:
+    """Profile every column of every table → {table_name: PROFILE_SCHEMA
+    tuples} in ONE Spark action.
+
+    Physical shape (the 100 TB story): each table is melted to
+    (table_name, col_name, value) INCLUDING nulls and unioned; a single
+    ``groupBy(table, col, value).count()`` shuffle (map-side combined, so the
+    shuffle carries ≤ distinct values, not rows) feeds everything —
+    row-level fractions are cnt-weighted sums over the value groups,
+    unique-level stats are plain aggregates over the groups, exact distinct
+    counts are free (count of non-null groups; no count_distinct Expand), and
+    the sampling window runs over the same frame.  One scan per table, one
+    shuffle total, one collect of ~n_columns rows.
+
+    Value semantics are STRING-world (values cast to string before testing
+    numeric/datetime parsability) — matching the reference, which profiles
+    CSV-loaded string data (utils.py:131-186).
+    """
+    spark = tables[0][0].sparkSession
+
+    melted_parts = []
+    phys: dict[tuple[str, str], str] = {}
+    spine_rows = []
+    for df, name in tables:
+        for c in df.columns:
+            phys[(name, c)] = physical_type(df.schema[c].dataType)
+            spine_rows.append((name, c))
+        melted_parts.append(
+            melt(df).select(F.lit(name).alias("table_name"), "col_name", "value")
+        )
+    melted = melted_parts[0]
+    for p in melted_parts[1:]:
+        melted = melted.unionByName(p)
+
+    gc = ["table_name", "col_name"]
+    counts_all = melted.groupBy(*gc, "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+    nonnull = F.col("value").isNotNull()
+    parsable = F.expr("try_cast(value as double)").isNotNull()
+    dt_parsable = F.expr("try_to_timestamp(value)").isNotNull()
+    percol = counts_all.groupBy(*gc).agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(F.sum(F.when(nonnull, F.col("cnt"))), F.lit(0)).alias("nn"),
+        F.count(F.when(nonnull, F.lit(1))).alias("nd"),
+        F.max(F.when(nonnull, parsable).cast("int")).alias("anynum"),
+        (
+            F.coalesce(F.sum(F.when(parsable, F.col("cnt"))), F.lit(0))
+            / F.sum("cnt")
+        ).alias("numfrac"),
+        (
+            F.coalesce(F.sum(F.when(dt_parsable, F.col("cnt"))), F.lit(0))
+            / F.sum("cnt")
+        ).alias("dtfrac"),
+        F.avg(F.when(nonnull, parsable.cast("int"))).alias("uniq_num_frac"),
+        F.max(
+            F.when(
+                nonnull,
+                F.when(
+                    parsable, ~F.col("value").cast("double").isin([0.0, 1.0])
+                ).otherwise(F.lit(False)),
+            ).cast("int")
+        ).alias("any_non01"),
+        F.min(
+            F.when(nonnull, F.lower(F.trim("value")).isin(BINARY_VALUES)).cast("int")
+        ).alias("all_binary_vocab"),
+    )
+    samples_df = samples_from_counts(
+        counts_all.filter(nonnull),
+        n=n_samples,
+        mode=sample_mode,
+        group_cols=tuple(gc),
+    )
+    # spine keeps all-null / empty-table columns present in the output
+    from magneto_matcher_spark.localframe import local_df
+
+    spine = local_df(spark, spine_rows, "table_name string, col_name string")
+    merged = (
+        spine.join(percol, gc, "left").join(samples_df, gc, "left").collect()
+    )
+    by_key = {(r["table_name"], r["col_name"]): r for r in merged}
+
+    out: dict[str, list[tuple]] = {name: [] for _, name in tables}
+    for df, name in tables:
+        for c in df.columns:
+            r = by_key[(name, c)]
+            n_rows = r["n_rows"] or 0
+            nn = r["nn"] or 0
+            nd = r["nd"] or 0
+            distinct_ratio = (nd / n_rows) if n_rows else 0.0
+            null_frac = 1.0 - (nn / n_rows) if n_rows else 1.0
+            sem = _semantic_type(
+                name=c,
+                phys=phys[(name, c)],
+                any_numeric=bool(r["anynum"]),
+                n_distinct=nd,
+                distinct_ratio=distinct_ratio,
+                uniq_num_frac=(r["uniq_num_frac"] or 0.0),
+                any_non01=bool(r["any_non01"]),
+                all_binary_vocab=bool(r["all_binary_vocab"]),
+                key_threshold=key_threshold,
+                numeric_threshold=numeric_threshold,
+            )
+            out[name].append(
+                (
+                    name,
+                    c,
+                    phys[(name, c)],
+                    sem,
+                    n_rows,
+                    nd,
+                    float(distinct_ratio),
+                    float(null_frac),
+                    float(r["numfrac"] or 0.0),
+                    float(r["dtfrac"] or 0.0),
+                    list(r["samples"] or []),
+                )
+            )
+    return out
+
+
+def profile_rows(
+    df: DataFrame,
+    table_name: str,
+    n_samples: int = 10,
+    sample_mode: str = "mixed",
+    exact_distinct: bool = True,  # kept for API compat; exact is free now
+    key_threshold: float = 0.8,
+    numeric_threshold: float = 0.90,
+) -> list[tuple]:
+    """Single-table convenience wrapper over :func:`profile_rows_multi`.
+    ``exact_distinct`` is accepted but ignored: the melt-based profiler gets
+    exact distinct counts for free (count of value groups, no Expand)."""
+    return profile_rows_multi(
+        [(df, table_name)],
+        n_samples=n_samples,
+        sample_mode=sample_mode,
+        key_threshold=key_threshold,
+        numeric_threshold=numeric_threshold,
+    )[table_name]
+
+
 def profile_table(
     df: DataFrame,
     table_name: str,
@@ -91,106 +235,23 @@ def profile_table(
     key_threshold: float = 0.8,
     numeric_threshold: float = 0.90,
 ) -> DataFrame:
-    """Profile every column of ``df`` → PROFILE_SCHEMA rows.
-
-    ``exact_distinct=False`` switches cardinalities to
-    ``approx_count_distinct`` (HLL) — the 100 TB setting, where a 2% ratio
-    error cannot flip sane key-detection; exact is kept for oracle parity.
-    """
-    spark = df.sparkSession
-    cols = df.columns
-    phys = {c: physical_type(df.schema[c].dataType) for c in cols}
-
-    # ---- pass 1: typed row-level stats, one aggregation over all columns ----
-    aggs = [F.count(F.lit(1)).alias("_n_rows")]
-    for i, c in enumerate(cols):
-        col_s = F.col(c).cast("string")
-        num = F.expr(f"try_cast(`{c}` as double)")
-        dtm = (
-            F.col(c)
-            if phys[c] == "date"
-            else F.expr(f"try_to_timestamp(cast(`{c}` as string))")
-        )
-        aggs += [
-            F.count(F.col(c)).alias(f"_nn_{i}"),
-            F.max(num.isNotNull().cast("int")).alias(f"_anynum_{i}"),
-            F.avg(num.isNotNull().cast("int")).alias(f"_numfrac_{i}"),
-            F.avg(dtm.isNotNull().cast("int")).alias(f"_dtfrac_{i}"),
-            (
-                F.count_distinct(col_s)
-                if exact_distinct
-                else F.approx_count_distinct(col_s)
-            ).alias(f"_nd_{i}"),
-        ]
-    stats = df.agg(*aggs).collect()[0]
-    n_rows = stats["_n_rows"]
-
-    # ---- pass 2: unique-level stats + samples from one melted shuffle ----
-    counts = value_counts(df).cache()
-    uniq = (
-        counts.groupBy("col_name")
-        .agg(
-            F.avg(
-                F.expr("try_cast(value as double)").isNotNull().cast("int")
-            ).alias("uniq_num_frac"),
-            F.max(
-                F.when(
-                    F.expr("try_cast(value as double)").isNotNull(),
-                    ~F.col("value").cast("double").isin([0.0, 1.0]),
-                ).otherwise(F.lit(False)).cast("int")
-            ).alias("any_non01"),
-            F.min(F.lower(F.trim("value")).isin(BINARY_VALUES).cast("int")).alias(
-                "all_binary_vocab"
-            ),
-        )
-        .collect()
+    """Profile every column of ``df`` → PROFILE_SCHEMA DataFrame (see
+    :func:`profile_rows`)."""
+    rows = profile_rows(
+        df,
+        table_name,
+        n_samples=n_samples,
+        sample_mode=sample_mode,
+        exact_distinct=exact_distinct,
+        key_threshold=key_threshold,
+        numeric_threshold=numeric_threshold,
     )
-    uniq_by_col = {r["col_name"]: r for r in uniq}
-    samples = {
-        r["col_name"]: r["samples"]
-        for r in samples_from_counts(counts, n=n_samples, mode=sample_mode).collect()
-    }
-    counts.unpersist()
-
-    rows = []
-    for i, c in enumerate(cols):
-        nn = stats[f"_nn_{i}"]
-        nd = stats[f"_nd_{i}"]
-        distinct_ratio = (nd / n_rows) if n_rows else 0.0
-        null_frac = 1.0 - (nn / n_rows) if n_rows else 1.0
-        u = uniq_by_col.get(c)
-
-        sem = _semantic_type(
-            name=c,
-            phys=phys[c],
-            any_numeric=bool(stats[f"_anynum_{i}"]),
-            n_distinct=nd,
-            distinct_ratio=distinct_ratio,
-            uniq_num_frac=(u["uniq_num_frac"] if u else 0.0),
-            any_non01=bool(u["any_non01"]) if u else False,
-            all_binary_vocab=bool(u["all_binary_vocab"]) if u else False,
-            key_threshold=key_threshold,
-            numeric_threshold=numeric_threshold,
-        )
-        rows.append(
-            (
-                table_name,
-                c,
-                phys[c],
-                sem,
-                n_rows,
-                nd,
-                float(distinct_ratio),
-                float(null_frac),
-                float(stats[f"_numfrac_{i}"] or 0.0),
-                float(stats[f"_dtfrac_{i}"] or 0.0),
-                list(samples.get(c, [])),
-            )
-        )
-
+    from magneto_matcher_spark.localframe import local_df
     from magneto_matcher_spark.schemas import PROFILE_SCHEMA
 
-    return spark.createDataFrame(rows, PROFILE_SCHEMA)
+    # LocalTableScan: one row per column — downstream ops (serialize, embed,
+    # kNN) stay single-partition and broadcastable
+    return local_df(df.sparkSession, rows, PROFILE_SCHEMA)
 
 
 def _semantic_type(

@@ -140,9 +140,12 @@ def bp_rerank(candidates: DataFrame) -> DataFrame:
             d["score"] = d["score"] * factor
         out_rows.append(d)
 
-    return spark.createDataFrame(out_rows, candidates.schema).select(
-        "src_col", "tgt_col", "score", *extra_cols
-    )
+    from magneto_matcher_spark.localframe import local_df
+
+    return local_df(
+        spark, [tuple(d[f] for f in candidates.columns) for d in out_rows],
+        candidates.schema,
+    ).select("src_col", "tgt_col", "score", *extra_cols)
 
 
 # --------------------------------------------------------------------------
@@ -205,6 +208,7 @@ def llm_rerank(
                 break
         for tgt, score in parsed:
             out.append((src_col, tgt, float(score), "llm", 10))
+    from magneto_matcher_spark.localframe import local_df
     from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA
 
-    return spark.createDataFrame(out, CANDIDATES_SCHEMA)
+    return local_df(spark, out, CANDIDATES_SCHEMA)

@@ -99,41 +99,44 @@ def sample_columns(
 
 
 def samples_from_counts(
-    counts: DataFrame, n: int = 10, mode: str = "mixed", seed: int = 42
+    counts: DataFrame,
+    n: int = 10,
+    mode: str = "mixed",
+    seed: int = 42,
+    group_cols: tuple[str, ...] = ("col_name",),
 ) -> DataFrame:
-    """Same as :func:`sample_columns` but over a precomputed (col_name, value,
-    cnt) frame, so the counts shuffle is shared across modes/profiles."""
-    by_col = Window.partitionBy("col_name")
+    """Same as :func:`sample_columns` but over a precomputed (*group_cols,
+    value, cnt) frame, so the counts shuffle is shared across modes/profiles.
+    ``group_cols`` lets one pass sample many tables at once
+    (e.g. ``("table_name", "col_name")`` in the unified profiler)."""
+    gc = [F.col(c) for c in group_cols]
+    by_col = Window.partitionBy(*gc)
 
     total_unique = F.count(F.lit(1)).over(by_col)
     counts = counts.withColumn("_total_unique", total_unique)
     small = F.col("_total_unique") <= n  # ≤ n uniques → return all (sorted)
 
     if mode == "frequent":
-        order = Window.partitionBy("col_name").orderBy(
-            F.col("cnt").desc(), F.col("value")
-        )
+        order = by_col.orderBy(F.col("cnt").desc(), F.col("value"))
         picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
             small | (F.col("_rn") <= n)
         )
-        return _collect_sorted(picked)
+        return _collect_sorted(picked, group_cols)
 
     if mode == "random":
-        order = Window.partitionBy("col_name").orderBy(
+        order = by_col.orderBy(
             F.xxhash64(F.lit(seed), F.col("value")), F.col("value")
         )
         picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
             small | (F.col("_rn") <= n)
         )
-        return _collect_sorted(picked)
+        return _collect_sorted(picked, group_cols)
 
     if mode == "mixed":
         n_frequent = n // 2
         n_diverse = n - n_frequent
-        freq_order = Window.partitionBy("col_name").orderBy(
-            F.col("cnt").desc(), F.col("value")
-        )
-        val_order = Window.partitionBy("col_name").orderBy(F.col("value"))
+        freq_order = by_col.orderBy(F.col("cnt").desc(), F.col("value"))
+        val_order = by_col.orderBy(F.col("value"))
         stride = F.greatest(
             F.lit(1), F.floor(F.col("_total_unique") / F.lit(n_diverse))
         )
@@ -149,34 +152,38 @@ def samples_from_counts(
         picked = scored.filter(
             small | (F.col("_fr") <= n_frequent) | F.col("_diverse_pick")
         )
-        return _collect_sorted(picked)
+        return _collect_sorted(picked, group_cols)
 
     if mode == "weighted":
         # A-Res reservoir key: u^(1/w) maximized ⟺ -log(u)/w minimized
         key = -F.log(_unit_hash(F.col("value"), seed)) / F.col("cnt")
-        order = Window.partitionBy("col_name").orderBy(key.asc(), F.col("value"))
+        order = by_col.orderBy(key.asc(), F.col("value"))
         picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
             small | (F.col("_rn") <= n)
         )
-        return _collect_sorted(picked)
+        return _collect_sorted(picked, group_cols)
 
     if mode == "priority_sampling":
         priority = F.col("cnt") / _unit_hash(F.col("value"), seed)
-        return _collect_by_priority(counts, priority, n, small)
+        return _collect_by_priority(counts, priority, n, small, group_cols)
 
     # consistent_sampling: top-n by value hash alone
     priority = _unit_hash(F.col("value"), seed)
-    return _collect_by_priority(counts, priority, n, small)
+    return _collect_by_priority(counts, priority, n, small, group_cols)
 
 
-def _collect_sorted(picked: DataFrame) -> DataFrame:
-    return picked.groupBy("col_name").agg(
+def _collect_sorted(picked: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+    return picked.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list("value")).alias("samples")
     )
 
 
-def _collect_by_priority(counts: DataFrame, priority, n: int, small) -> DataFrame:
-    order = Window.partitionBy("col_name").orderBy(priority.desc(), F.col("value"))
+def _collect_by_priority(
+    counts: DataFrame, priority, n: int, small, group_cols: tuple[str, ...]
+) -> DataFrame:
+    order = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        priority.desc(), F.col("value")
+    )
     picked = (
         counts.withColumn("_pr", priority)
         .withColumn("_rn", F.row_number().over(order))
@@ -186,7 +193,7 @@ def _collect_by_priority(counts: DataFrame, priority, n: int, small) -> DataFram
     # the ≤n-uniques whole-set case, which the reference sorts (utils.py:235):
     # a constant sort key there makes array_sort fall through to the value.
     sort_key = F.when(small, F.lit(0.0)).otherwise(-F.col("_pr"))
-    return picked.groupBy("col_name").agg(
+    return picked.groupBy(*group_cols).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct(sort_key.alias("np"), F.col("value")))

@@ -93,6 +93,48 @@ def serialize_expr(
     )
 
 
+def serialize_text(
+    mode: str,
+    header: str,
+    data_type: str,
+    samples: list[str] | None,
+    cls: str = "<s>",
+    sep: str = "</s>",
+    eos: str = "</s>",
+) -> str:
+    """Python twin of :func:`serialize_expr` — byte-identical output, used by
+    the driver-local matcher cascade (plans/matcher.py) on metadata-sized
+    profile sets.  Parity with the expression version is pinned by
+    tests/test_matching.py::test_serialize_text_twin_parity."""
+    vals = [s for s in (samples or []) if s is not None]
+    joined = sep.join(vals)
+
+    if mode == "header_values_verbose":
+        return f"{cls}Column: {header}{sep}Type: {data_type}{sep}Values: {joined}{sep}"
+    if mode == "header_values_default":
+        return f"{cls}{header}{sep}{data_type}{sep}{joined}"
+    if mode == "header_values_prefix":
+        return (
+            f"{cls}header:{header}{sep}datatype:{data_type}{sep}"
+            f"values:{', '.join(vals)}"
+        )
+    if mode in ("header_values_repeat", "header_header_values_repeat_notype"):
+        repeated = sep.join([header] * 5)
+        return f"{cls}{repeated}{sep}{data_type}{sep}{joined}"
+    if mode == "header_only":
+        return f"{cls}{header}{eos}"
+    if mode == "header_values_verbose_notype":
+        return f"{cls}Column: {header}{sep}Values: {joined}{sep}{eos}"
+    if mode == "header_values_columnvaluepair_notype":
+        pairs = sep.join(f"{header}:{v}" for v in vals)
+        return f"{cls}Column: {header}{sep}Values: {pairs}{sep}{eos}"
+    if mode == "header_values_default_notype":
+        return f"{cls}{header}{sep}{joined}"
+    raise ValueError(
+        f"Unsupported encoding mode: {mode}. Supported modes are: {ENCODING_MODES}"
+    )
+
+
 def serialize_profiles(
     profiles: DataFrame,
     mode: str = "header_values_verbose",

@@ -122,8 +122,12 @@ def strsim_candidates(
     prefix_s = common_prefix(list(source_cols))
     prefix_t = common_prefix(list(target_cols))
 
-    src = spark.createDataFrame([(c,) for c in source_cols], ["src_col"])
-    tgt = spark.createDataFrame([(c,) for c in target_cols], ["tgt_col"])
+    # LocalTableScan frames (localframe.py): an RDD-backed pair would plan a
+    # 1024-task CartesianProduct; these broadcast-nested-loop in one task
+    from magneto_matcher_spark.localframe import local_df
+
+    src = local_df(spark, [(c,) for c in source_cols], "src_col string")
+    tgt = local_df(spark, [(c,) for c in target_cols], "tgt_col string")
     pairs = src.crossJoin(tgt).select(
         "src_col",
         "tgt_col",

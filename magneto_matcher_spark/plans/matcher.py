@@ -28,8 +28,12 @@ from magneto_matcher_spark.functions.cleaning import (
     clean_df,
     remove_invalid_characters_expr,
 )
+from magneto_matcher_spark.localframe import local_df
 from magneto_matcher_spark.operators.embedding import embed_text, knn_topk
-from magneto_matcher_spark.operators.profile import profile_table
+from magneto_matcher_spark.operators.profile import (
+    profile_rows_multi,
+    profile_table,
+)
 from magneto_matcher_spark.operators.serialize import serialize_profiles
 from magneto_matcher_spark.operators.strsim import strsim_candidates
 from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA
@@ -46,7 +50,19 @@ DEFAULT_PARAMS = {
     "use_bp_reranker": False,
     "use_llm_reranker": False,
     "embedding_dim": 256,
+    # candidate-cascade execution: the pair space is |src_cols|x|tgt_cols| —
+    # METADATA-sized (the data-scale work is the profiling, which is always
+    # distributed).  'driver' computes the cascade in numpy/Python on the
+    # collected profiles (microseconds, zero Spark jobs); 'distributed' runs
+    # the DataFrame/pandas-UDF plan (the path for very wide tables); 'auto'
+    # picks driver below DRIVER_CASCADE_MAX_PAIRS pairs.  Both paths produce
+    # identical rows (pinned by tests/test_matching.py parity test).
+    "execution": "auto",
 }
+
+#: above this many (src, tgt) column pairs 'auto' switches to the
+#: distributed cascade (~450x450 columns; far beyond any real schema)
+DRIVER_CASCADE_MAX_PAIRS = 200_000
 
 
 def equal_candidates(spark, source_cols: list[str], target_cols: list[str]) -> DataFrame:
@@ -55,8 +71,9 @@ def equal_candidates(spark, source_cols: list[str], target_cols: list[str]) -> D
     Cleaning is P11 — ``remove_invalid_characters(col.strip().lower())`` (note:
     no camel split, unlike P3).  Broadcast inner equi-join on the cleaned key.
     """
-    src = spark.createDataFrame([(c,) for c in source_cols], ["src_col"])
-    tgt = spark.createDataFrame([(c,) for c in target_cols], ["tgt_col"])
+    # LocalTableScan frames (localframe.py): broadcast-joinable metadata
+    src = local_df(spark, [(c,) for c in source_cols], "src_col string")
+    tgt = local_df(spark, [(c,) for c in target_cols], "tgt_col string")
     clean = lambda c: remove_invalid_characters_expr(F.lower(F.trim(c)))  # noqa: E731
     s = src.select("src_col", clean(F.col("src_col")).alias("k"))
     t = tgt.select("tgt_col", clean(F.col("tgt_col")).alias("k"))
@@ -86,8 +103,8 @@ def embedding_candidates(
     src_emb = embed_text(src_text, "text", "embedding", dim=dim)
     tgt_emb = embed_text(tgt_text, "text", "embedding", dim=dim)
 
-    n_tgt = tgt_profiles.count()
-    k = min(params["topk"], n_tgt)
+    # no tgt count needed: knn_topk caps k at the collected corpus size
+    k = params["topk"]
     knn = knn_topk(
         src_emb.select(F.col("col_name").alias("src_col"), "embedding"),
         tgt_emb.select(F.col("col_name").alias("tgt_col"), "embedding"),
@@ -102,6 +119,121 @@ def embedding_candidates(
         F.lit("embedding").alias("strategy"),
         F.lit(2).alias("priority"),
     )
+
+
+# --------------------------------------------------------------------------
+# driver-local cascade (metadata-sized pair spaces; parity-pinned twins of the
+# distributed operators)
+# --------------------------------------------------------------------------
+
+def _clean_equal_key(name: str) -> str:
+    """Python twin of equal_candidates' P11 key cleaning."""
+    import re
+
+    return re.sub(r"[^a-zA-Z0-9\s]", " ", name.strip().lower())
+
+
+def _equal_pairs(source_cols: list[str], target_cols: list[str]) -> list[tuple]:
+    by_key: dict[str, list[str]] = {}
+    for t in target_cols:
+        by_key.setdefault(_clean_equal_key(t), []).append(t)
+    return [
+        (s, t, 1.0, "equal", 3)
+        for s in source_cols
+        for t in by_key.get(_clean_equal_key(s), [])
+    ]
+
+
+def _strsim_pairs(
+    source_cols: list[str],
+    target_cols: list[str],
+    alignment_threshold: float = 0.95,
+    fuzzy_threshold: float = 0.6,
+) -> list[tuple]:
+    from magneto_matcher_spark.operators.strsim import (
+        alignment_score_consecutive,
+        common_prefix,
+        fuzzy_ratio,
+    )
+
+    ps = common_prefix(list(source_cols))
+    pt = common_prefix(list(target_cols))
+    out = []
+    for s in source_cols:
+        ss = s.replace(ps, "") if ps else s
+        for t in target_cols:
+            tt = t.replace(pt, "") if pt else t
+            fz = fuzzy_ratio(ss, tt)
+            if fz >= fuzzy_threshold:
+                score = fz
+            else:
+                a = alignment_score_consecutive(ss, tt)
+                score = a if a >= alignment_threshold else None
+            if score is not None:
+                out.append((s, t, float(score), "strsim", 1))
+    return out
+
+
+def _embedding_pairs(
+    src_prof_rows: list, tgt_prof_rows: list, params: dict
+) -> list[tuple]:
+    """Numpy twin of embedding_candidates → knn_topk: serialize → hashed
+    n-gram embed → normalized matmul → per-row top-k (argpartition + lexsort
+    tie-break, the exact sequence of operators/embedding.py:knn_topk)."""
+    import numpy as np
+
+    from magneto_matcher_spark.operators.embedding import _hashed_ngram_vector
+    from magneto_matcher_spark.operators.serialize import serialize_text
+
+    mode, dim = params["encoding_mode"], params["embedding_dim"]
+
+    def embed(rows):
+        texts = [serialize_text(mode, r[1], r[3], r[10]) for r in rows]
+        # float32 first (the distributed path stores array<float>), then f64
+        return np.array(
+            [_hashed_ngram_vector(t or "", dim) for t in texts], dtype=np.float64
+        )
+
+    if not src_prof_rows or not tgt_prof_rows:
+        return []
+    q, c = embed(src_prof_rows), embed(tgt_prof_rows)
+    for m in (q, c):
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m /= norms
+    c_ids = np.array([r[1] for r in tgt_prof_rows])
+    sims = q @ c.T
+    kk = min(params["topk"], len(c_ids))
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    out = []
+    threshold = params["embedding_threshold"]
+    for r, src in enumerate([row[1] for row in src_prof_rows]):
+        cand = idx[r]
+        order = np.lexsort((c_ids[cand], -sims[r, cand]))
+        for j in cand[order]:
+            score = float(sims[r, j])
+            if score >= threshold:
+                out.append((src, str(c_ids[j]), score, "embedding", 2))
+    return out
+
+
+def _driver_cascade(parts: list[list[tuple]], k: int) -> list[tuple]:
+    """J5 dict-overwrite (max priority wins per pair) + W1 per-source top-k —
+    the driver twin of cascade_dedup + topk_matches."""
+    best: dict[tuple, tuple] = {}
+    for part in parts:
+        for row in part:
+            key = (row[0], row[1])
+            if key not in best or row[4] > best[key][4]:
+                best[key] = row
+    by_src: dict[str, list[tuple]] = {}
+    for row in best.values():
+        by_src.setdefault(row[0], []).append(row)
+    out = []
+    for src in sorted(by_src):
+        ranked = sorted(by_src[src], key=lambda r: (-r[2], r[1]))
+        out += [(*row, rank) for rank, row in enumerate(ranked[:k], start=1)]
+    return out
 
 
 def cascade_dedup(candidates: DataFrame) -> DataFrame:
@@ -149,37 +281,19 @@ def get_matches(
         source_df = clean_df(source_df)
         target_df = clean_df(target_df)
 
-    parts = []
-    if params["include_strsim_matches"]:
-        parts.append(
-            strsim_candidates(spark, source_df.columns, target_df.columns)
-        )
-    if params["include_embedding_matches"]:
-        if profiles is not None:
-            src_prof, tgt_prof = profiles
-        else:
-            src_prof = profile_table(
-                source_df, src_table,
-                n_samples=params["sampling_size"],
-                sample_mode=params["sampling_mode"],
-            )
-            tgt_prof = profile_table(
-                target_df, tgt_table,
-                n_samples=params["sampling_size"],
-                sample_mode=params["sampling_mode"],
-            )
-        parts.append(embedding_candidates(src_prof, tgt_prof, params))
-    if params["include_equal_matches"]:
-        parts.append(equal_candidates(spark, source_df.columns, target_df.columns))
+    n_pairs = len(source_df.columns) * len(target_df.columns)
+    execution = params["execution"]
+    if execution == "auto":
+        execution = "driver" if n_pairs <= DRIVER_CASCADE_MAX_PAIRS else "distributed"
 
-    if not parts:
+    if execution == "driver":
+        matches = _get_matches_driver(source_df, target_df, src_table, tgt_table,
+                                      params, profiles)
+    else:
+        matches = _get_matches_distributed(source_df, target_df, src_table,
+                                           tgt_table, params, profiles)
+    if matches is None:
         return spark.createDataFrame([], CANDIDATES_SCHEMA)
-    candidates = parts[0]
-    for p in parts[1:]:
-        candidates = candidates.unionByName(p)
-
-    deduped = cascade_dedup(candidates)
-    matches = topk_matches(deduped, params["topk"])
 
     if params["use_bp_reranker"]:
         from magneto_matcher_spark.operators.rerank import bp_rerank
@@ -207,6 +321,80 @@ def get_matches(
         F.col("score").cast("double").alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def _get_matches_driver(
+    source_df, target_df, src_table, tgt_table, params, profiles
+) -> DataFrame | None:
+    """Driver-local cascade over collected profiles — zero Spark jobs for the
+    candidate math; only the (distributed) profiling actions remain.  Source
+    and target profiles run as CONCURRENT Spark actions (two driver threads),
+    so the matcher pays one profile latency, not two."""
+    spark = source_df.sparkSession
+    parts: list[list[tuple]] = []
+    if params["include_strsim_matches"]:
+        parts.append(_strsim_pairs(source_df.columns, target_df.columns))
+    if params["include_embedding_matches"]:
+        if profiles is not None:
+            src_rows = [tuple(r) for r in profiles[0].collect()]
+            tgt_rows = [tuple(r) for r in profiles[1].collect()]
+        else:
+            # both tables in ONE melt pass / ONE Spark action
+            both = profile_rows_multi(
+                [(source_df, "__src__"), (target_df, "__tgt__")],
+                n_samples=params["sampling_size"],
+                sample_mode=params["sampling_mode"],
+            )
+            src_rows, tgt_rows = both["__src__"], both["__tgt__"]
+        parts.append(_embedding_pairs(src_rows, tgt_rows, params))
+    if params["include_equal_matches"]:
+        parts.append(_equal_pairs(source_df.columns, target_df.columns))
+    if not parts:
+        return None
+    ranked = _driver_cascade(parts, params["topk"])
+    return local_df(
+        spark,
+        [(r[0], r[1], float(r[2]), r[3], int(r[4]), int(r[5])) for r in ranked],
+        "src_col string, tgt_col string, score double, strategy string, "
+        "priority int, rank int",
+    )
+
+
+def _get_matches_distributed(
+    source_df, target_df, src_table, tgt_table, params, profiles
+) -> DataFrame | None:
+    """The DataFrame/pandas-UDF cascade — one lazy Catalyst DAG; the path for
+    pair spaces too wide for the driver."""
+    spark = source_df.sparkSession
+    parts = []
+    if params["include_strsim_matches"]:
+        parts.append(
+            strsim_candidates(spark, source_df.columns, target_df.columns)
+        )
+    if params["include_embedding_matches"]:
+        if profiles is not None:
+            src_prof, tgt_prof = profiles
+        else:
+            src_prof = profile_table(
+                source_df, src_table,
+                n_samples=params["sampling_size"],
+                sample_mode=params["sampling_mode"],
+            )
+            tgt_prof = profile_table(
+                target_df, tgt_table,
+                n_samples=params["sampling_size"],
+                sample_mode=params["sampling_mode"],
+            )
+        parts.append(embedding_candidates(src_prof, tgt_prof, params))
+    if params["include_equal_matches"]:
+        parts.append(equal_candidates(spark, source_df.columns, target_df.columns))
+
+    if not parts:
+        return None
+    candidates = parts[0]
+    for p in parts[1:]:
+        candidates = candidates.unionByName(p)
+    return topk_matches(cascade_dedup(candidates), params["topk"])
 
 
 def matcher_drift_resolver(batch: DataFrame, table) -> tuple[dict, list]:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from magneto_matcher_spark.localframe import local_df as _ldf
+
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
@@ -182,7 +184,7 @@ def p3_clean_column_names(spark, sf_dir):
 
     names = ["l_orderkey", "l_extendedprice", "OrderDate!!", "  CamelCaseCol  ",
              "weird__name", "UPPER_SNAKE"]
-    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    df = _ldf(spark, [(n,) for n in names], ["name"])
     return df.select("name", clean_column_name_expr(F.col("name")).alias("clean_name"))
 
 
@@ -469,8 +471,8 @@ def j1_equal_match(spark, sf_dir):
 def j2_levenshtein_ratio(spark, sf_dir):
     from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
 
-    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
-    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    src = _ldf(spark, [(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = _ldf(spark, [(c,) for c in _TGT_NAMES], ["tgt_col"])
     scored = src.crossJoin(tgt).select(
         "src_col",
         "tgt_col",
@@ -502,8 +504,8 @@ def w1_topk_per_source(spark, sf_dir):
     from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
     from magneto_matcher_spark.plans.matcher import topk_matches
 
-    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
-    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    src = _ldf(spark, [(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = _ldf(spark, [(c,) for c in _TGT_NAMES], ["tgt_col"])
     scored = src.crossJoin(tgt).select(
         "src_col",
         "tgt_col",
@@ -540,7 +542,7 @@ def j5_cascade_dedup(spark, sf_dir):
         ("a", "y", 0.60, "strsim", 1), ("b", "y", 1.00, "equal", 3),
         ("b", "y", 0.80, "embedding", 2), ("c", "z", 0.50, "strsim", 1),
     ]
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         rows, ["src_col", "tgt_col", "score", "strategy", "priority"]
     )
     return cascade_dedup(df).select("src_col", "tgt_col", "score", "strategy")
@@ -569,8 +571,8 @@ def e3_minmax_normalize(spark, sf_dir):
     from magneto_matcher_spark.operators.embedding import normalize_scores
     from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
 
-    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
-    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    src = _ldf(spark, [(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = _ldf(spark, [(c,) for c in _TGT_NAMES], ["tgt_col"])
     scored = src.crossJoin(tgt).select(
         "src_col",
         "tgt_col",
@@ -588,12 +590,12 @@ _GT_SQL = "(VALUES ('a','y'), ('b','y'), ('d','q')) AS g(src_col, tgt_col)"
 
 
 def _matches_gt(spark):
-    matches = spark.createDataFrame(
+    matches = _ldf(spark, 
         [("a", "x", 0.9, 1), ("a", "y", 0.8, 2), ("b", "y", 0.7, 1),
          ("b", "z", 0.6, 2), ("c", "w", 0.5, 1)],
         ["src_col", "tgt_col", "score", "rank"],
     )
-    gt = spark.createDataFrame(
+    gt = _ldf(spark, 
         [("a", "y"), ("b", "y"), ("d", "q")], ["src_col", "tgt_col"]
     )
     return matches, gt
@@ -617,7 +619,7 @@ def m2_mrr_adjusted(spark, sf_dir):
 
     matches, gt = _matches_gt(spark)
     val = round(mrr(matches, gt, adjusted=True), 6)
-    return spark.createDataFrame([(val,)], "mrr double")
+    return _ldf(spark, [(val,)], "mrr double")
 
 
 @q(
@@ -636,7 +638,7 @@ def m3_recall_at_k(spark, sf_dir):
 
     matches, gt = _matches_gt(spark)
     val = round(recall_at_k(matches, gt, k=2), 6)
-    return spark.createDataFrame([(val,)], "recall_at_k double")
+    return _ldf(spark, [(val,)], "recall_at_k double")
 
 
 @q(
@@ -1016,7 +1018,7 @@ def magneto_get_matches_f4(spark, sf_dir):
 def r1_bp_rerank(spark, sf_dir):
     from magneto_matcher_spark.operators.rerank import bp_rerank
 
-    cands = spark.createDataFrame(
+    cands = _ldf(spark, 
         [("a", "x", 0.9), ("a", "y", 0.85), ("b", "y", 0.8), ("b", "x", 0.75),
          ("c", "z", 0.6), ("c", "x", 0.55)],
         ["src_col", "tgt_col", "score"],
@@ -1030,7 +1032,7 @@ def r1_bp_rerank(spark, sf_dir):
 def r3_llm_rerank_mock(spark, sf_dir):
     from magneto_matcher_spark.operators.rerank import llm_rerank
 
-    cands = spark.createDataFrame(
+    cands = _ldf(spark, 
         [("gender", "sex", 0.3), ("gender", "comments", 0.9),
          ("patient_id", "PatientID", 0.5), ("patient_id", "notes", 0.8)],
         ["src_col", "tgt_col", "score"],
@@ -1159,7 +1161,7 @@ _DIRTY_SQL = (
 def p2_camel_split(spark, sf_dir):
     from magneto_matcher_spark.functions.cleaning import split_camel_case_expr
 
-    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    df = _ldf(spark, [(x,) for x in _DIRTY_VALUES], ["v"])
     return df.select("v", split_camel_case_expr(F.col("v")).alias("split"))
 
 
@@ -1177,7 +1179,7 @@ _DIRTY_VALUES = ["CamelCaseCol", "snake_case", "Not Reported", "yes", "No",
 def p4_preprocess_string(spark, sf_dir):
     from magneto_matcher_spark.functions.cleaning import preprocess_string_expr
 
-    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    df = _ldf(spark, [(x,) for x in _DIRTY_VALUES], ["v"])
     return df.select("v", preprocess_string_expr(F.col("v")).alias("pre"))
 
 
@@ -1194,7 +1196,7 @@ def p4_preprocess_string(spark, sf_dir):
 def p6_is_binary(spark, sf_dir):
     from magneto_matcher_spark.functions.cleaning import is_binary_value_expr
 
-    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    df = _ldf(spark, [(x,) for x in _DIRTY_VALUES], ["v"])
     return df.select("v", is_binary_value_expr(F.col("v")).alias("is_binary"))
 
 
@@ -1222,7 +1224,7 @@ def p6_is_binary(spark, sf_dir):
 def p7_clean_element(spark, sf_dir):
     from magneto_matcher_spark.functions.cleaning import clean_element_expr
 
-    df = spark.createDataFrame([(x,) for x in _DIRTY_VALUES], ["v"])
+    df = _ldf(spark, [(x,) for x in _DIRTY_VALUES], ["v"])
     return df.select("v", clean_element_expr(F.col("v")).alias("cleaned"))
 
 
@@ -1278,8 +1280,8 @@ def a5_datetime_frac(spark, sf_dir):
 def a8_score_bounds(spark, sf_dir):
     from magneto_matcher_spark.operators.strsim import levenshtein_ratio_expr
 
-    src = spark.createDataFrame([(c,) for c in _SRC_NAMES], ["src_col"])
-    tgt = spark.createDataFrame([(c,) for c in _TGT_NAMES], ["tgt_col"])
+    src = _ldf(spark, [(c,) for c in _SRC_NAMES], ["src_col"])
+    tgt = _ldf(spark, [(c,) for c in _TGT_NAMES], ["tgt_col"])
     scored = src.crossJoin(tgt).select(
         levenshtein_ratio_expr(F.lower("src_col"), F.lower("tgt_col")).alias("score")
     )
@@ -1330,7 +1332,7 @@ def m1_mrr_simple(spark, sf_dir):
 
     matches, gt = _matches_gt(spark)
     val = round(mrr(matches, gt, adjusted=False), 6)
-    return spark.createDataFrame([(val,)], "mrr double")
+    return _ldf(spark, [(val,)], "mrr double")
 
 
 @q(
@@ -1503,7 +1505,7 @@ _PROFILE_COLS = ["patient_id", "gender", "tumor_stage", "age_at_diagnosis",
 def _profile_fixture(spark):
     from magneto_matcher_spark.operators.profile import profile_table
 
-    df = spark.createDataFrame(_PROFILE_ROWS, _PROFILE_COLS)
+    df = _ldf(spark, _PROFILE_ROWS, _PROFILE_COLS)
     return profile_table(df, "clinical")
 
 

@@ -442,27 +442,21 @@ def _footer_stats(path: str, lsn_col: str) -> tuple[int, int, int] | None:
 
 def exact_name_drift_resolver(batch: DataFrame, table: LakeTable):
     """Phase-3 stub resolver: map incoming columns to table columns by exact
-    cleaned name (J1); everything else is an add.  Phase 4 replaces this with
-    the full Magneto cascade (magneto_matcher_spark.plans.matcher)."""
-    from magneto_matcher_spark.functions.cleaning import clean_column_name_expr
+    cleaned name (J1); everything else is an add.  Name cleaning is pure
+    driver-side metadata work (Python twin of P3) — zero Spark jobs per
+    drift event.  The full Magneto cascade lives in
+    magneto_matcher_spark.plans.matcher.matcher_drift_resolver."""
+    from magneto_matcher_spark.functions.cleaning import clean_column_name
 
-    spark = batch.sparkSession
     incoming = [c for c in batch.columns if c not in _SYSTEM_COLS]
     current = set(table.column_names)
-
-    def cleaned(names: list[str]) -> dict[str, str]:
-        df = spark.createDataFrame([(n,) for n in names], ["name"])
-        rows = df.select(
-            "name", clean_column_name_expr(F.col("name")).alias("clean")
-        ).collect()
-        return {r["name"]: r["clean"] for r in rows}
 
     unknown = [c for c in incoming if c not in current]
     missing = [c for c in current if c not in set(incoming)]
     if not unknown:
         return {}, []
-    in_clean = cleaned(unknown)
-    tbl_clean = {v: k for k, v in cleaned(missing).items()}
+    in_clean = {n: clean_column_name(n) for n in unknown}
+    tbl_clean = {clean_column_name(n): n for n in missing}
 
     renames, adds = {}, []
     for c in unknown:

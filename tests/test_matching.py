@@ -108,6 +108,53 @@ def test_sampling_small_column_returns_all_sorted(spark):
     assert out == ["a", "b", "c"]
 
 
+def test_driver_vs_distributed_cascade_parity(spark, pair):
+    """The driver-local cascade must reproduce the distributed DataFrame
+    cascade: identical (src, tgt, rank, strategy-priority) sets, scores equal
+    to 1e-9 (last-ULP matmul differences between the driver process and the
+    pandas-UDF worker are expected and harmless)."""
+    from magneto_matcher_spark.plans.matcher import get_matches
+
+    src, tgt, _ = pair
+
+    def norm(df):
+        return sorted(
+            (r["src_col"], r["tgt_col"], r["rank"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    a = norm(get_matches(src, tgt, topk=3, include_strsim_matches=True,
+                         execution="driver"))
+    b = norm(get_matches(src, tgt, topk=3, include_strsim_matches=True,
+                         execution="distributed"))
+    assert a == b and len(a) > 0
+
+
+def test_serialize_text_twin_parity(spark, pair):
+    """serialize_text (Python) must be byte-identical to serialize_expr
+    (Catalyst) for every encoding mode."""
+    from magneto_matcher_spark.operators.serialize import (
+        ENCODING_MODES,
+        serialize_profiles,
+        serialize_text,
+    )
+
+    src, _, _ = pair
+    prof = profile_table(clean_df(src), "src")
+    rows = prof.collect()
+    for mode in ENCODING_MODES:
+        spark_out = {
+            r["col_name"]: r["text"]
+            for r in serialize_profiles(prof, mode=mode).collect()
+        }
+        py_out = {
+            r["col_name"]: serialize_text(mode, r["col_name"], r["sem_type"],
+                                          r["samples"])
+            for r in rows
+        }
+        assert spark_out == py_out, mode
+
+
 def test_unit_hash_not_degenerate(spark):
     """Regression: the golden-ratio fraction must be computed from a hash
     bounded below 2^32 — multiplying a ~2^61 hash by PHI in doubles makes the
