@@ -304,13 +304,35 @@ def embedding_neardup_pairs(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    max_broadcast_rows: int = 100_000,
+    dim: int | None = None,
+    n_bits: int = 6,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Semantic near-dup: each vector's top-k cosine neighbours (exact kNN,
-    broadcast corpus), keep pairs ≥ threshold with a_id < b_id."""
-    from magneto_matcher_spark.operators.embedding import knn_topk
+    """Semantic near-dup: each vector's top-k cosine neighbours, keep pairs
+    ≥ threshold with a_id < b_id.
 
-    nn = knn_topk(emb, emb, k=k + 1, query_id=id_col, corpus_id=id_col,
-                  query_vec=vec_col, corpus_vec=vec_col)
+    ``method``: 'bruteforce' collects the corpus to the driver and broadcasts
+    it (exact kNN) — a scale-killer beyond ~10^5 rows; 'lsh' buckets both
+    sides by hyperplane SimHash (one shuffle, never broadcasts — the 100 TB
+    path, approximate); 'auto' counts the corpus and picks 'lsh' above
+    ``max_broadcast_rows``."""
+    from magneto_matcher_spark.operators.embedding import knn_topk, knn_topk_lsh
+
+    if method == "auto":
+        method = "bruteforce" if emb.count() <= max_broadcast_rows else "lsh"
+    if method == "bruteforce":
+        nn = knn_topk(emb, emb, k=k + 1, query_id=id_col, corpus_id=id_col,
+                      query_vec=vec_col, corpus_vec=vec_col)
+    elif method == "lsh":
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        nn = knn_topk_lsh(emb, emb, k=k + 1, dim=dim, n_bits=n_bits,
+                          n_tables=n_tables, query_id=id_col, vec_col=vec_col,
+                          corpus_id=id_col)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     return (
         nn.filter(F.col(id_col) < F.col("neighbor_id"))
         .filter(F.col("score") >= threshold)

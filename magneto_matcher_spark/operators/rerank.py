@@ -170,14 +170,25 @@ def parse_candidates(text: str) -> list[tuple[str, float]]:
 
 
 def mock_llm_scorer(src_col: str, src_samples: list[str], candidates: list[tuple[str, float]]) -> str:
-    """Deterministic stand-in for the chat call: re-scores candidates by the
-    fuzzy ratio of (src_col, tgt_col) names, formatted through the codec so
-    the parser is exercised end-to-end."""
+    """Deterministic stand-in for the chat call.  Mirrors the reference's
+    prompt construction (magneto.py:142-147: column NAME + up to 10 SAMPLES),
+    so the samples measurably change the output: score = mean of the
+    name-name fuzzy ratio and a sample-evidence term (fraction of sample
+    tokens that fuzzy-match the candidate name).  Formatted through the codec
+    so the parser is exercised end-to-end."""
     from magneto_matcher_spark.operators.strsim import fuzzy_ratio
 
+    def score(tgt: str) -> float:
+        name_part = fuzzy_ratio(src_col.lower(), tgt.lower())
+        if not src_samples:
+            return round(name_part, 4)
+        hits = sum(
+            1 for s in src_samples if fuzzy_ratio(str(s).lower(), tgt.lower()) >= 0.5
+        )
+        return round(0.5 * name_part + 0.5 * hits / len(src_samples), 4)
+
     rescored = sorted(
-        ((tgt, round(fuzzy_ratio(src_col, tgt), 4)) for tgt, _ in candidates),
-        key=lambda x: (-x[1], x[0]),
+        ((tgt, score(tgt)) for tgt, _ in candidates), key=lambda x: (-x[1], x[0])
     )
     return format_candidates(rescored)
 
@@ -186,29 +197,56 @@ def llm_rerank(
     candidates: DataFrame,
     scorer=mock_llm_scorer,
     max_attempts: int = 5,
+    samples: dict[str, list[str]] | None = None,
+    distributed: bool = False,
 ) -> DataFrame:
-    """R3 execution shape: one scorer call per source column
-    (``applyInPandas`` per-group in the distributed setting; here the group
-    count is metadata-sized so a driver loop over collected groups is the
-    faster plan).  Parse failures retry up to ``max_attempts``
-    (llm_reranker.py:68-84)."""
+    """R3: one scorer call per source column, prompt built from the column
+    name + its profile ``samples`` (reference magneto.py:142-147,
+    llm_reranker.py:34-92); parse failures retry up to ``max_attempts``
+    (llm_reranker.py:68-84).
+
+    ``distributed=True`` runs the per-column calls as a grouped
+    ``applyInPandas`` (one group per src_col — the shape for wide schemas /
+    rate-limit parallelism); default is a driver loop over the collected
+    groups, which is faster for metadata-sized schemas."""
     spark = candidates.sparkSession
+    samples = samples or {}
+
+    def rescore_group(src_col: str, cands: list) -> list[tuple]:
+        parsed = []
+        for _ in range(max_attempts):
+            resp = scorer(src_col, samples.get(src_col, []), cands)
+            parsed = parse_candidates(resp)
+            if parsed:
+                break
+        return [(src_col, tgt, float(sc), "llm", 10) for tgt, sc in parsed]
+
+    from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA
+
+    if distributed:
+        import pandas as pd
+
+        def apply_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            src_col = pdf["src_col"].iloc[0]
+            cands = list(zip(pdf["tgt_col"], pdf["score"]))
+            rows = rescore_group(src_col, cands)
+            return pd.DataFrame(
+                rows, columns=["src_col", "tgt_col", "score", "strategy", "priority"]
+            )
+
+        return (
+            candidates.select("src_col", "tgt_col", "score")
+            .groupBy("src_col")
+            .applyInPandas(apply_group, CANDIDATES_SCHEMA)
+        )
+
     rows = candidates.collect()
     grouped: dict[str, list] = {}
     for r in rows:
         grouped.setdefault(r["src_col"], []).append((r["tgt_col"], r["score"]))
-
     out = []
     for src_col, cands in sorted(grouped.items()):
-        parsed = []
-        for _ in range(max_attempts):
-            resp = scorer(src_col, [], cands)
-            parsed = parse_candidates(resp)
-            if parsed:
-                break
-        for tgt, score in parsed:
-            out.append((src_col, tgt, float(score), "llm", 10))
+        out += rescore_group(src_col, cands)
     from magneto_matcher_spark.localframe import local_df
-    from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA
 
     return local_df(spark, out, CANDIDATES_SCHEMA)

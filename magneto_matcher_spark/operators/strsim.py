@@ -113,6 +113,7 @@ def strsim_candidates(
     target_cols: list[str],
     alignment_threshold: float = 0.95,
     fuzzy_threshold: float = 0.6,
+    priority: int = 1,
 ) -> DataFrame:
     """J2: score all (src, tgt) column-name pairs; emit CANDIDATES rows.
 
@@ -157,6 +158,6 @@ def strsim_candidates(
             "tgt_col",
             F.col("score").cast("double").alias("score"),
             F.lit("strsim").alias("strategy"),
-            F.lit(1).alias("priority"),
+            F.lit(priority).alias("priority"),
         )
     )

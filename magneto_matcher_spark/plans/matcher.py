@@ -58,14 +58,27 @@ DEFAULT_PARAMS = {
     # picks driver below DRIVER_CASCADE_MAX_PAIRS pairs.  Both paths produce
     # identical rows (pinned by tests/test_matching.py parity test).
     "execution": "auto",
+    # apply_strategies_in_order (reference magneto.py:168-187): an explicit
+    # strategy order, e.g. ["equal", "embedding", "strsim"] — strategies run
+    # in list order and LATER strategies overwrite earlier scores for the
+    # same pair (list position becomes the J5 priority); strategies absent
+    # from the list are skipped (the reference's skip = -1).  None keeps the
+    # include_* flags with the fixed default order strsim→embedding→equal.
+    "strategy_order": None,
 }
+
+#: default J5 priorities — the reference's fixed cascade order
+#: strsim → embedding → equal (magneto.py:237-244), later overwrites earlier
+DEFAULT_PRIORITIES = {"strsim": 1, "embedding": 2, "equal": 3}
 
 #: above this many (src, tgt) column pairs 'auto' switches to the
 #: distributed cascade (~450x450 columns; far beyond any real schema)
 DRIVER_CASCADE_MAX_PAIRS = 200_000
 
 
-def equal_candidates(spark, source_cols: list[str], target_cols: list[str]) -> DataFrame:
+def equal_candidates(
+    spark, source_cols: list[str], target_cols: list[str], priority: int = 3
+) -> DataFrame:
     """J1: equal cleaned-name match, score 1.0 (magneto.py:87-105).
 
     Cleaning is P11 — ``remove_invalid_characters(col.strip().lower())`` (note:
@@ -84,7 +97,7 @@ def equal_candidates(spark, source_cols: list[str], target_cols: list[str]) -> D
             "tgt_col",
             F.lit(1.0).alias("score"),
             F.lit("equal").alias("strategy"),
-            F.lit(3).alias("priority"),
+            F.lit(priority).alias("priority"),
         )
     )
 
@@ -93,6 +106,7 @@ def embedding_candidates(
     src_profiles: DataFrame,
     tgt_profiles: DataFrame,
     params: dict,
+    priority: int = 2,
 ) -> DataFrame:
     """J3/E1-E4: serialize profiles → embed → exact cosine top-k → threshold
     (embedding_matcher.py:77-108)."""
@@ -117,7 +131,7 @@ def embedding_candidates(
         F.col("neighbor_id").alias("tgt_col"),
         F.col("score").cast("double").alias("score"),
         F.lit("embedding").alias("strategy"),
-        F.lit(2).alias("priority"),
+        F.lit(priority).alias("priority"),
     )
 
 
@@ -133,12 +147,14 @@ def _clean_equal_key(name: str) -> str:
     return re.sub(r"[^a-zA-Z0-9\s]", " ", name.strip().lower())
 
 
-def _equal_pairs(source_cols: list[str], target_cols: list[str]) -> list[tuple]:
+def _equal_pairs(
+    source_cols: list[str], target_cols: list[str], priority: int = 3
+) -> list[tuple]:
     by_key: dict[str, list[str]] = {}
     for t in target_cols:
         by_key.setdefault(_clean_equal_key(t), []).append(t)
     return [
-        (s, t, 1.0, "equal", 3)
+        (s, t, 1.0, "equal", priority)
         for s in source_cols
         for t in by_key.get(_clean_equal_key(s), [])
     ]
@@ -149,6 +165,7 @@ def _strsim_pairs(
     target_cols: list[str],
     alignment_threshold: float = 0.95,
     fuzzy_threshold: float = 0.6,
+    priority: int = 1,
 ) -> list[tuple]:
     from magneto_matcher_spark.operators.strsim import (
         alignment_score_consecutive,
@@ -170,12 +187,12 @@ def _strsim_pairs(
                 a = alignment_score_consecutive(ss, tt)
                 score = a if a >= alignment_threshold else None
             if score is not None:
-                out.append((s, t, float(score), "strsim", 1))
+                out.append((s, t, float(score), "strsim", priority))
     return out
 
 
 def _embedding_pairs(
-    src_prof_rows: list, tgt_prof_rows: list, params: dict
+    src_prof_rows: list, tgt_prof_rows: list, params: dict, priority: int = 2
 ) -> list[tuple]:
     """Numpy twin of embedding_candidates → knn_topk: serialize → hashed
     n-gram embed → normalized matmul → per-row top-k (argpartition + lexsort
@@ -213,7 +230,7 @@ def _embedding_pairs(
         for j in cand[order]:
             score = float(sims[r, j])
             if score >= threshold:
-                out.append((src, str(c_ids[j]), score, "embedding", 2))
+                out.append((src, str(c_ids[j]), score, "embedding", priority))
     return out
 
 
@@ -274,6 +291,21 @@ def get_matches(
     params = {**DEFAULT_PARAMS, **overrides}
     spark = source_df.sparkSession
 
+    order = params.get("strategy_order")
+    if order:
+        unknown = set(order) - set(DEFAULT_PRIORITIES)
+        if unknown:
+            raise ValueError(f"unknown strategies in strategy_order: {unknown}")
+        params = {
+            **params,
+            "include_strsim_matches": "strsim" in order,
+            "include_embedding_matches": "embedding" in order,
+            "include_equal_matches": "equal" in order,
+        }
+        params["_priorities"] = {st: i + 1 for i, st in enumerate(order)}
+    else:
+        params["_priorities"] = dict(DEFAULT_PRIORITIES)
+
     if not source_df.columns or not target_df.columns:  # P12 empty guard
         return spark.createDataFrame([], CANDIDATES_SCHEMA)
 
@@ -287,11 +319,13 @@ def get_matches(
         execution = "driver" if n_pairs <= DRIVER_CASCADE_MAX_PAIRS else "distributed"
 
     if execution == "driver":
-        matches = _get_matches_driver(source_df, target_df, src_table, tgt_table,
-                                      params, profiles)
+        matches, src_samples = _get_matches_driver(
+            source_df, target_df, src_table, tgt_table, params, profiles
+        )
     else:
-        matches = _get_matches_distributed(source_df, target_df, src_table,
-                                           tgt_table, params, profiles)
+        matches, src_samples = _get_matches_distributed(
+            source_df, target_df, src_table, tgt_table, params, profiles
+        )
     if matches is None:
         return spark.createDataFrame([], CANDIDATES_SCHEMA)
 
@@ -308,8 +342,20 @@ def get_matches(
     if params["use_llm_reranker"]:
         from magneto_matcher_spark.operators.rerank import llm_rerank
 
+        if src_samples is None:
+            # prompt needs the source columns' representative values
+            # (reference magneto.py:142-147)
+            rows = profile_rows_multi(
+                [(source_df, "__src__")],
+                n_samples=params["sampling_size"],
+                sample_mode=params["sampling_mode"],
+            )["__src__"]
+            src_samples = {r[1]: list(r[10]) for r in rows}
         matches = topk_matches(
-            llm_rerank(matches.select("src_col", "tgt_col", "score")),
+            llm_rerank(
+                matches.select("src_col", "tgt_col", "score"),
+                samples=src_samples,
+            ),
             params["topk"],
         )
 
@@ -320,20 +366,24 @@ def get_matches(
         "tgt_col",
         F.col("score").cast("double").alias("score"),
         F.col("rank").cast("int").alias("rank"),
+        "strategy",
     )
 
 
 def _get_matches_driver(
     source_df, target_df, src_table, tgt_table, params, profiles
-) -> DataFrame | None:
+):
     """Driver-local cascade over collected profiles — zero Spark jobs for the
     candidate math; only the (distributed) profiling actions remain.  Source
     and target profiles run as CONCURRENT Spark actions (two driver threads),
     so the matcher pays one profile latency, not two."""
     spark = source_df.sparkSession
+    pri = params["_priorities"]
+    src_samples = None
     parts: list[list[tuple]] = []
     if params["include_strsim_matches"]:
-        parts.append(_strsim_pairs(source_df.columns, target_df.columns))
+        parts.append(_strsim_pairs(source_df.columns, target_df.columns,
+                                   priority=pri["strsim"]))
     if params["include_embedding_matches"]:
         if profiles is not None:
             src_rows = [tuple(r) for r in profiles[0].collect()]
@@ -346,30 +396,38 @@ def _get_matches_driver(
                 sample_mode=params["sampling_mode"],
             )
             src_rows, tgt_rows = both["__src__"], both["__tgt__"]
-        parts.append(_embedding_pairs(src_rows, tgt_rows, params))
+        src_samples = {r[1]: list(r[10]) for r in src_rows}
+        parts.append(
+            _embedding_pairs(src_rows, tgt_rows, params,
+                             priority=pri["embedding"])
+        )
     if params["include_equal_matches"]:
-        parts.append(_equal_pairs(source_df.columns, target_df.columns))
+        parts.append(_equal_pairs(source_df.columns, target_df.columns,
+                                  priority=pri["equal"]))
     if not parts:
-        return None
+        return None, None
     ranked = _driver_cascade(parts, params["topk"])
-    return local_df(
+    matches = local_df(
         spark,
         [(r[0], r[1], float(r[2]), r[3], int(r[4]), int(r[5])) for r in ranked],
         "src_col string, tgt_col string, score double, strategy string, "
         "priority int, rank int",
     )
+    return matches, src_samples
 
 
 def _get_matches_distributed(
     source_df, target_df, src_table, tgt_table, params, profiles
-) -> DataFrame | None:
+):
     """The DataFrame/pandas-UDF cascade — one lazy Catalyst DAG; the path for
     pair spaces too wide for the driver."""
     spark = source_df.sparkSession
+    pri = params["_priorities"]
     parts = []
     if params["include_strsim_matches"]:
         parts.append(
-            strsim_candidates(spark, source_df.columns, target_df.columns)
+            strsim_candidates(spark, source_df.columns, target_df.columns,
+                              priority=pri["strsim"])
         )
     if params["include_embedding_matches"]:
         if profiles is not None:
@@ -385,16 +443,21 @@ def _get_matches_distributed(
                 n_samples=params["sampling_size"],
                 sample_mode=params["sampling_mode"],
             )
-        parts.append(embedding_candidates(src_prof, tgt_prof, params))
+        parts.append(
+            embedding_candidates(src_prof, tgt_prof, params,
+                                 priority=pri["embedding"])
+        )
     if params["include_equal_matches"]:
-        parts.append(equal_candidates(spark, source_df.columns, target_df.columns))
+        parts.append(equal_candidates(spark, source_df.columns,
+                                      target_df.columns,
+                                      priority=pri["equal"]))
 
     if not parts:
-        return None
+        return None, None
     candidates = parts[0]
     for p in parts[1:]:
         candidates = candidates.unionByName(p)
-    return topk_matches(cascade_dedup(candidates), params["topk"])
+    return topk_matches(cascade_dedup(candidates), params["topk"]), None
 
 
 def matcher_drift_resolver(batch: DataFrame, table) -> tuple[dict, list]:

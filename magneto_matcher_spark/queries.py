@@ -1014,6 +1014,77 @@ def magneto_get_matches_f4(spark, sf_dir):
     return get_matches(src, tgt, topk=3, include_strsim_matches=True)
 
 
+_ORDER_SRC = ["gender", "site_code"]
+_ORDER_TGT = ["gender", "flag_xyz"]
+# Only the identical-name pair survives both strategies on this fixture
+# (fuzzy/alignment of every other pair is below threshold), so the full match
+# output is SQL-pinnable and the winning `strategy` column shows which
+# strategy overwrote which — the observable effect of apply_strategies_in_order
+# (reference magneto.py:168-187).
+
+
+def _order_fixture(spark):
+    return (
+        _ldf(spark, [("a", 1), ("b", 2)], "gender string, site_code int"),
+        _ldf(spark, [("x", 3), ("y", 4)], "gender string, flag_xyz int"),
+    )
+
+
+@q(
+    "magneto_strategy_order_default",
+    """
+    SELECT 'source' AS src_table, 'gender' AS src_col, 'target' AS tgt_table,
+           'gender' AS tgt_col, CAST(1.0 AS DOUBLE) AS score, 1 AS rank,
+           'equal' AS strategy
+    """,
+)
+def magneto_strategy_order_default(spark, sf_dir):
+    """Default cascade order strsim→embedding→equal: equal runs LAST and
+    overwrites the strsim score for the identical pair → strategy='equal'."""
+    from magneto_matcher_spark.plans.matcher import get_matches
+
+    src, tgt = _order_fixture(spark)
+    return get_matches(
+        src, tgt, topk=3,
+        include_strsim_matches=True, include_embedding_matches=False,
+    )
+
+
+@q(
+    "magneto_strategy_order_custom",
+    """
+    SELECT 'source' AS src_table, 'gender' AS src_col, 'target' AS tgt_table,
+           'gender' AS tgt_col, CAST(1.0 AS DOUBLE) AS score, 1 AS rank,
+           'strsim' AS strategy
+    """,
+)
+def magneto_strategy_order_custom(spark, sf_dir):
+    """apply_strategies_in_order (magneto.py:168-187): order equal→strsim puts
+    strsim LAST, so it overwrites equal for the identical pair →
+    strategy='strsim' (embedding skipped = the reference's skip=-1)."""
+    from magneto_matcher_spark.plans.matcher import get_matches
+
+    src, tgt = _order_fixture(spark)
+    return get_matches(src, tgt, topk=3, strategy_order=["equal", "strsim"])
+
+
+@q("dedup_embedding_lsh")  # seeded-numpy hyperplanes: rows-only
+def dedup_embedding_lsh(spark, sf_dir):
+    """The 100 TB near-dup path: LSH-bucketed cosine (never broadcasts the
+    corpus), same output shape as dedup_embedding_cosine."""
+    from magneto_matcher_spark.operators.dedup import embedding_neardup_pairs
+
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(scaled)
+    return embedding_neardup_pairs(
+        corpus, threshold=0.99, k=5, method="lsh"
+    ).select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
+
+
 @q("r1_bp_rerank")
 def r1_bp_rerank(spark, sf_dir):
     from magneto_matcher_spark.operators.rerank import bp_rerank
@@ -1032,12 +1103,14 @@ def r1_bp_rerank(spark, sf_dir):
 def r3_llm_rerank_mock(spark, sf_dir):
     from magneto_matcher_spark.operators.rerank import llm_rerank
 
-    cands = _ldf(spark, 
+    cands = _ldf(spark,
         [("gender", "sex", 0.3), ("gender", "comments", 0.9),
          ("patient_id", "PatientID", 0.5), ("patient_id", "notes", 0.8)],
         ["src_col", "tgt_col", "score"],
     )
-    return llm_rerank(cands).select(
+    # prompt carries the source columns' sample values (magneto.py:142-147)
+    samples = {"gender": ["male", "female"], "patient_id": ["p00001", "p00002"]}
+    return llm_rerank(cands, samples=samples).select(
         "src_col", "tgt_col", F.round("score", 4).alias("score")
     )
 

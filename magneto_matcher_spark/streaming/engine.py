@@ -45,6 +45,8 @@ class CdcEngine:
         drift_resolver=None,
         metrics_sink: str | None = None,
         auto_compact_ratio: float | None = None,
+        hot_key_threshold: float = 0.05,
+        auto_min_events: int = 50_000,
     ):
         """``drift_resolver``: callable (batch_df, table) →
         (renames: dict incoming→table name, adds: list[(name, type_str)]).
@@ -55,6 +57,12 @@ class CdcEngine:
         accumulated delta rows exceed this fraction of data rows, run
         ``table.compact()`` (read-amplification bound; the Iceberg
         rewrite_data_files analog).  None disables; ignored for CoW tables.
+
+        ``dedup_strategy='auto'`` (SURVEY §2.13 per-batch hot-key detection):
+        each batch runs a cheap seeded-sample key-count (A1) and picks
+        'salted' when the estimated hottest key exceeds ``hot_key_threshold``
+        of the batch, else 'agg'.  Batches below ``auto_min_events`` skip
+        detection (the sample job would cost more than any possible skew).
         """
         self.table = table
         self.dedup_strategy = dedup_strategy
@@ -62,7 +70,32 @@ class CdcEngine:
         self.drift_resolver = drift_resolver or exact_name_drift_resolver
         self.metrics_sink = metrics_sink
         self.auto_compact_ratio = auto_compact_ratio
+        self.hot_key_threshold = hot_key_threshold
+        self.auto_min_events = auto_min_events
         self.metrics_log: list[BatchMetrics] = []
+
+    def _resolve_dedup_strategy(
+        self, batch: DataFrame, n_events: int
+    ) -> tuple[str, float | None]:
+        """Per-batch strategy pick for 'auto': sample ≤200k events, count per
+        key, estimate the hottest key's share of the batch.  One small extra
+        aggregation; everything else passes dedup_strategy through."""
+        if self.dedup_strategy != "auto":
+            return self.dedup_strategy, None
+        if n_events < self.auto_min_events:
+            return "agg", None
+        frac = min(1.0, 200_000 / n_events)
+        sample = batch if frac >= 1.0 else batch.sample(fraction=frac, seed=42)
+        row = (
+            sample.groupBy(*self.table.key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+            .collect()[0]
+        )
+        if not row["n"]:
+            return "agg", 0.0
+        est = row["mx"] / row["n"]
+        return ("salted" if est >= self.hot_key_threshold else "agg"), est
 
     # ------------- drift handling -------------
 
@@ -149,13 +182,17 @@ class CdcEngine:
         # un-normalized (null-normalize/trim/cast skipped).
         batch = self._resolve_drift(batch)
         batch = normalize_payload(batch)
+        strategy, hot_est = self._resolve_dedup_strategy(batch, n_events)
         winners = dedup_max_lsn(
             batch,
             key=self.table.key,
             lsn_col=lsn_col,
-            strategy=self.dedup_strategy,
+            strategy=strategy,
             n_salts=self.n_salts,
         )
+        metrics["dedup_used"] = strategy
+        if hot_est is not None:
+            metrics["hot_key_frac_est"] = round(hot_est, 4)
         # CoW merge needs the touched-bucket set (a collect over the winners)
         # AND the winners rows for the join+rewrite; persisting makes the
         # dedup shuffle run once and serve both.  Winners are micro-batch
@@ -309,11 +346,12 @@ class CdcEngine:
             if n == 0 or (hi is not None and hi <= watermark):
                 return (path, n, lo, hi, None, time.time() - t0)
             batch = normalize_payload(spark.read.parquet(path))
+            strategy, _ = self._resolve_dedup_strategy(batch, n)
             winners = dedup_max_lsn(
                 batch,
                 key=self.table.key,
                 lsn_col=lsn_col,
-                strategy=self.dedup_strategy,
+                strategy=strategy,
                 n_salts=self.n_salts,
             )
             entries = self.table.stage_delta(winners)

@@ -148,6 +148,36 @@ def _count_keys(feed):
     return len(state)
 
 
+def test_auto_dedup_picks_salted_on_hot_feed(spark, tmp_path):
+    """SURVEY §2.13: dedup_strategy='auto' must detect a hot key per batch
+    (A1 sample count over keys) and switch to 'salted', with the final state
+    identical to a plain agg-strategy replay."""
+    hot = generate_change_feed(spark, 2000, n_convs=25, turns_per_conv=6,
+                               seed=7, hot_frac=0.5)
+    paths = write_change_files(hot, str(tmp_path / "hotfeed"), 2)
+
+    auto_t = _mk_table(spark, tmp_path, "auto_t")
+    auto_eng = CdcEngine(auto_t, dedup_strategy="auto", n_salts=8,
+                         hot_key_threshold=0.02, auto_min_events=0)
+    metrics = auto_eng.replay(paths)
+    assert all(m["dedup_used"] == "salted" for m in metrics)
+    assert all(m["hot_key_frac_est"] > 0.02 for m in metrics)
+
+    # cold feed → stays on agg
+    cold = generate_change_feed(spark, 1000, n_convs=200, turns_per_conv=6,
+                                seed=8, hot_frac=0.0)
+    cold_paths = write_change_files(cold, str(tmp_path / "coldfeed"), 1)
+    cold_t = _mk_table(spark, tmp_path, "cold_t")
+    cold_eng = CdcEngine(cold_t, dedup_strategy="auto",
+                         hot_key_threshold=0.02, auto_min_events=0)
+    cm = cold_eng.replay(cold_paths)
+    assert cm[0]["dedup_used"] == "agg"
+
+    ref_t = _mk_table(spark, tmp_path, "ref_t")
+    CdcEngine(ref_t, dedup_strategy="agg").replay(paths)
+    assert _state_dict(auto_t) == _state_dict(ref_t)
+
+
 def test_drift_renamed_column_is_normalized(spark, tmp_path):
     """Regression: drift resolution must run BEFORE payload normalization, so
     a renamed column's values (e.g. Tool → tool) still get null-normalized —

@@ -367,6 +367,66 @@ def test_equal_match_overrides_other_scores(spark):
     assert top["Shared_Name"] == ("shared name", 1.0)
 
 
+def test_strategy_order_controls_overwrite(spark):
+    """apply_strategies_in_order (magneto.py:168-187): the LAST strategy in
+    the order overwrites earlier scores; absent strategies are skipped."""
+    import pandas as pd
+
+    src = spark.createDataFrame(pd.DataFrame({"gender": ["a"], "site_code": [1]}))
+    tgt = spark.createDataFrame(pd.DataFrame({"gender": ["x"], "flag_xyz": [2]}))
+
+    default = get_matches(src, tgt, topk=3, include_strsim_matches=True,
+                          include_embedding_matches=False).collect()
+    assert [(r["src_col"], r["tgt_col"], r["strategy"]) for r in default] == [
+        ("gender", "gender", "equal")
+    ]
+
+    custom = get_matches(src, tgt, topk=3,
+                         strategy_order=["equal", "strsim"]).collect()
+    assert [(r["src_col"], r["tgt_col"], r["strategy"]) for r in custom] == [
+        ("gender", "gender", "strsim")
+    ]
+
+    # both cascade paths honor the order
+    dist = get_matches(src, tgt, topk=3, strategy_order=["equal", "strsim"],
+                       execution="distributed").collect()
+    assert [(r["src_col"], r["tgt_col"], r["strategy"]) for r in dist] == [
+        ("gender", "gender", "strsim")
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        get_matches(src, tgt, strategy_order=["equal", "nope"])
+
+
+def test_llm_rerank_uses_samples_and_applyinpandas(spark):
+    """R3: the mock scorer's output must change when profile samples are
+    present (prompt fidelity, magneto.py:142-147), and the distributed
+    applyInPandas shape must agree with the driver loop."""
+    from magneto_matcher_spark.operators.rerank import llm_rerank
+
+    cands = spark.createDataFrame(
+        [("gender", "sex", 0.3), ("gender", "comments", 0.9)],
+        ["src_col", "tgt_col", "score"],
+    )
+    samples = {"gender": ["male", "female", "m", "f"]}
+    plain = {(r["src_col"], r["tgt_col"]): r["score"]
+             for r in llm_rerank(cands).collect()}
+    with_s = {(r["src_col"], r["tgt_col"]): r["score"]
+              for r in llm_rerank(cands, samples=samples).collect()}
+    assert plain.keys() == with_s.keys()
+    assert plain != with_s  # samples changed the scores
+
+    dist = {(r["src_col"], r["tgt_col"]): r["score"]
+            for r in llm_rerank(cands, samples=samples, distributed=True).collect()}
+    assert dist == with_s  # grouped applyInPandas parity
+
+    # deterministic
+    again = {(r["src_col"], r["tgt_col"]): r["score"]
+             for r in llm_rerank(cands, samples=samples).collect()}
+    assert again == with_s
+
+
 def test_equal_candidates_p11_cleaning(spark):
     # P11 = strip/lower/remove-invalid only — NO camel split
     out = equal_candidates(spark, ["FooBar"], ["foobar", "foo_bar"]).collect()
@@ -381,6 +441,52 @@ def test_matches_deterministic(spark, pair, matches):
     a = sorted(map(tuple, matches.collect()))
     b = sorted(map(tuple, m2.collect()))
     assert a == b
+
+
+# ---------------- benchmark runner + S4 sink ----------------
+
+def test_s4_sink_header_once_and_append(tmp_path):
+    from magneto_matcher_spark.benchrunner import (
+        RESULT_HEADER,
+        completed_pairs,
+        create_result_file,
+        record_result,
+    )
+
+    path = str(tmp_path / "results.csv")
+    create_result_file(path)
+    create_result_file(path)  # second call must NOT rewrite/duplicate header
+    record_result(path, ["b", "p1", "m", 1.0, 0.9, 0.8, 0.7, 3, 4, 5, 20])
+    record_result(path, ["b", "p2", "m", 2.0, 0.8, 0.7, 0.6, 3, 4, 5, 20])
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == ",".join(RESULT_HEADER)
+    assert len(lines) == 3 and not lines[1].startswith("benchmark")
+    assert completed_pairs(path) == {("m", "p1"), ("m", "p2")}
+
+
+def test_matcher_benchmark_runner_resume(spark, pair, tmp_path):
+    from magneto_matcher_spark.benchrunner import run_matcher_benchmark
+
+    src, tgt, gt = pair
+    out = str(tmp_path / "bench.csv")
+    pairs = [("pair_a", src, tgt, gt)]
+    first = run_matcher_benchmark(spark, pairs, out, topk=5,
+                                  include_strsim_matches=True)
+    assert len(first) == 1
+    rec = first[0]
+    assert rec["mrr"] > 0.5 and rec["recall_at_gt"] > 0.0
+    assert rec["runtime_s"] > 0 and rec["n_gt"] == gt.count()
+
+    # resume: same pair skipped, new pair runs (gdc_benchmark.py:158-165)
+    second = run_matcher_benchmark(
+        spark, [("pair_a", src, tgt, gt), ("pair_b", tgt, src,
+                 gt.select(F.col("tgt_col").alias("src_col"),
+                           F.col("src_col").alias("tgt_col")))],
+        out, topk=5, include_strsim_matches=True,
+    )
+    assert [r["pair_name"] for r in second] == ["pair_b"]
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 pairs
 
 
 # ---------------- metrics ----------------
