@@ -201,12 +201,12 @@ Methodology (full rationale in BENCH/run_scaling.py):
 - replay stats come from parquet footers (no stats scan) and the CoW merge
   persists the deduped winners so the dedup shuffle runs once per batch.
 
-**Hardware context (measured on this box, numpy streaming reads):** aggregate
-memory bandwidth {json.dumps(bw)} GB/s by process count — bandwidth scales
-linearly up to ~8 cores and saturates well before 32, so for the
-bandwidth-bound stages of any data engine the 8→32 pair cannot physically
-reach 4x; the 2→8 pair is the pair where the hardware itself permits ~4x,
-which is why both pairs are reported.
+**Hardware context (measured on this box, numpy streaming reads over
+page-touched buffers, summation-only timed region):** aggregate memory
+bandwidth {json.dumps(bw)} GB/s by process count.  The per-pair
+"hardware bandwidth-scaling ceiling" below is computed from this curve —
+interpret an engine efficiency near that ceiling as machine-bound, below it
+as plan-shape-bound.
 
 | mode | parallelism | best wall (s) | events/sec | all reps (s) |
 |---|---|---|---|---|
@@ -215,13 +215,15 @@ which is why both pairs are reported.
 Scaling efficiency (T_N / T_4N) / 4, north-rule target >= 0.8:
 {chr(10).join(eff_lines)}
 
-Reading the numbers: on the pair where this box's own memory system stops
-scaling (8→32: measured bandwidth ratio < 2x), the MoR engine reaches the
-hardware ceiling itself — the residual is the machine, not the plan shape
-(every stage is a partial-aggregated shuffle or a bucketed write, both
-executor-local on a real cluster whose aggregate bandwidth grows with node
-count).  On the low-N pair the gap to 0.8 is shared-LLC contention plus the
-serial snapshot commit, which is O(metadata) and constant per batch.
+What bounds each mode: MoR's per-batch work is one partial-aggregated dedup
+shuffle plus a bucketed append — both fully parallel; its residual vs 1.0 is
+the serial snapshot commit (O(metadata), constant per batch) plus
+fixed-per-job scheduling that doesn't shrink with cores.  CoW additionally
+pays the full-outer merge join and the touched-bucket rewrite, whose task
+count is bounded by n_buckets (fixed job layout), so its high-N efficiency
+is structurally lower at this feed scale — the per-bucket rewrite is too
+small to amortize more parallelism (measured: sub-splitting buckets,
+files_per_bucket>1, made it slower, not faster).
 
 `cow` = copy-on-write MERGE (full-outer join + rewrite of touched buckets —
 read-optimized); `mor` = merge-on-read (append bucketed delta files, O(batch)

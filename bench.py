@@ -131,8 +131,15 @@ def run_cdc_replay(
         # untimed warm-up: a replay big enough to drive JIT/whole-stage-codegen
         # to steady state (measured: per-batch throughput keeps rising for the
         # first ~1M processed events in a fresh JVM)
+        # files_per_bucket: sub-split bucket writes (sources/lake.py) — the
+        # knob for tables whose buckets are large; measured at THIS feed
+        # scale (50k-row final state / 32 buckets) sub-splitting only adds
+        # task+file overhead (fpb 1→4 cost ~2x on both modes), so 1 is the
+        # default. Part of the FIXED job layout across parallelism levels.
+        fpb = int(os.environ.get("SPARK_GRAFT_FPB", "1"))
         warm_table = LakeTable.create(
-            spark, f"{tmp}/warm_lake", schema, key=TRANSCRIPT_KEY, n_buckets=32
+            spark, f"{tmp}/warm_lake", schema, key=TRANSCRIPT_KEY, n_buckets=32,
+            files_per_bucket=fpb,
         )
         dedup = os.environ.get("SPARK_GRAFT_DEDUP", "agg")
         CdcEngine(warm_table, dedup_strategy=dedup, n_salts=32).replay(warm_paths)
@@ -146,7 +153,7 @@ def run_cdc_replay(
         for r in range(reps):
             table = LakeTable.create(
                 spark, f"{tmp}/lake_{r}", schema, key=TRANSCRIPT_KEY,
-                n_buckets=32, write_mode=write_mode,
+                n_buckets=32, write_mode=write_mode, files_per_bucket=fpb,
             )
             engine = CdcEngine(table, dedup_strategy=dedup, n_salts=32)
             # MoR batches stage concurrently (commits stay serial, in feed

@@ -366,8 +366,15 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read_buckets(self, buckets: list[int], snapshot_id: int | None = None) -> DataFrame:
-        """Bucket-pruned scan: only files whose partition bucket ∈ ``buckets``."""
+    def read_buckets(
+        self,
+        buckets: list[int],
+        snapshot_id: int | None = None,
+        keep_tombstones: bool = False,
+    ) -> DataFrame:
+        """Bucket-pruned scan: only files whose partition bucket ∈ ``buckets``.
+        ``keep_tombstones=True`` resolves delete winners as rows with ``op``
+        (the MERGE target view — tombstones must out-LSN stale redeliveries)."""
         snap = (
             self.current_snapshot()
             if snapshot_id is None
@@ -379,26 +386,45 @@ class LakeTable:
         wanted = set(buckets)
         manifest = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in wanted]
         if not manifest:
-            return self.spark.createDataFrame([], self._schema_for(read_schema_id))
-        return self._resolve(manifest, read_schema_id)
+            empty = self.spark.createDataFrame([], self._schema_for(read_schema_id))
+            return empty.withColumn("op", F.lit("U")) if keep_tombstones else empty
+        return self._resolve(manifest, read_schema_id, keep_tombstones=keep_tombstones)
 
     # ---------------- write path ----------------
 
     def _write_data_files(
-        self, df: DataFrame, dirname: str, kind: str = "data"
+        self,
+        df: DataFrame,
+        dirname: str,
+        kind: str = "data",
+        split_tombstones_on: str | None = None,
     ) -> list[dict]:
         """Write ``df`` (current schema + ``_bucket``) partitioned by bucket
         under ``data/{dirname}/``; return manifest entries.  ``kind='delta'``
         marks merge-on-read change files (payload + ``op``).
 
+        ``split_tombstones_on='op'``: ONE write job routes delete winners
+        (op='D') into ``kind='tombstone'`` files and everything else into
+        ``kind`` files via an extra partition dir — the CoW merge uses this
+        so tombstone retention costs zero extra Spark jobs.
+
         Parallelism: repartitioning on ``_bucket`` alone caps the write at
         ≤ n_buckets non-empty tasks (fewer after hash collisions) no matter
-        how many cores exist — so rows are sub-split inside each bucket by a
-        key hash (``files_per_bucket`` files per bucket, deterministic), the
+        how many cores exist — so rows can be sub-split inside each bucket by
+        a key hash (``files_per_bucket`` files per bucket, deterministic), the
         same trick the feed generator uses (sources/changefeed.py:155-159).
-        Bucket membership is untouched; readers see k files per bucket."""
+        Bucket membership is untouched; readers see k files per bucket.
+        (Measured: sub-splitting only pays off when a bucket's rewrite is big
+        enough to dwarf task/file overhead — keep files_per_bucket=1 unless
+        buckets are large.)"""
         out_dir = os.path.join(self.root, "data", dirname)
         t0 = time.time()
+        part_cols = ["_bucket"]
+        if split_tombstones_on is not None:
+            df = df.withColumn(
+                "_tomb", (F.col(split_tombstones_on) == F.lit("D")).cast("int")
+            )
+            part_cols = ["_tomb", "_bucket"]
         fpb = int(self.meta.get("files_per_bucket", 1))
         if fpb > 1:
             sub = F.pmod(
@@ -410,7 +436,7 @@ class LakeTable:
         (
             shaped
             .sortWithinPartitions(*self.key)  # W7: file-level determinism
-            .write.partitionBy("_bucket")
+            .write.partitionBy(*part_cols)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -419,8 +445,12 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         entries = []
-        for path in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
+        pattern = os.path.join(out_dir, *[f"{c}=*" for c in part_cols], "*.parquet")
+        for path in sorted(glob.glob(pattern)):
             bucket = int(path.split("_bucket=")[1].split(os.sep)[0])
+            file_kind = kind
+            if split_tombstones_on is not None and "_tomb=1" in path:
+                file_kind = "tombstone"
             rows = pq.ParquetFile(path).metadata.num_rows
             entries.append(
                 {
@@ -428,7 +458,7 @@ class LakeTable:
                     "bucket": bucket,
                     "schema_id": self.meta["current_schema_id"],
                     "rows": rows,
-                    "kind": kind,
+                    "kind": file_kind,
                 }
             )
         # perf introspection for the bench (not part of the table format)
@@ -550,20 +580,33 @@ class LakeTable:
         old_manifest = list(cur["manifest"]) if cur else []
         kept = [e for e in old_manifest if e["bucket"] not in set(touched)]
 
-        target = self.read_buckets(touched)
+        # target view includes tombstones so a stale 'U' below a delete's LSN
+        # loses the merge comparison instead of resurrecting the key; the
+        # merged output keeps delete winners, which the write routes into
+        # kind='tombstone' files IN THE SAME JOB (split_tombstones_on) — the
+        # rewrite re-winnows tombstones every merge (max-LSN fresh, auto-GC'd
+        # once a newer insert wins the key).
+        target = self.read_buckets(touched, keep_tombstones=True)
         merged = merge_into_frame(
             target,
             batch.drop("_bucket"),
             key=self.key,
             lsn_col=lsn_col,
             op_col=op_col,
-        ).select(*cols)
-
-        new_entries = self._write_data_files(self._with_bucket(merged), f"snap-{snapshot_id}")
+            keep_tombstones=True,
+        )
+        new_entries = self._write_data_files(
+            self._with_bucket(merged.select(*cols, op_col)),
+            f"snap-{snapshot_id}",
+            split_tombstones_on=op_col,
+        )
+        data_rows = sum(e["rows"] for e in new_entries if e["kind"] == "data")
+        tomb_rows = sum(e["rows"] for e in new_entries if e["kind"] == "tombstone")
         s = {
             "buckets-rewritten": len(touched),
             "files-kept": len(kept),
-            "rows-written": sum(e["rows"] for e in new_entries),
+            "rows-written": data_rows,
+            "tombstones-written": tomb_rows,
         }
         s.update(summary or {})
         return self._commit("merge", kept + new_entries, s)

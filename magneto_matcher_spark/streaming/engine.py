@@ -12,7 +12,11 @@ engine stamps the consumed LSN range of every batch into the snapshot summary
 (``offsets.start`` / ``offsets.end``) and skips any batch whose range is
 already ≤ the committed watermark on restart — and the MERGE itself is
 idempotent by LSN comparison, so even a partially-overlapping redelivery is a
-no-op for already-applied keys.  Together: effectively-once.
+no-op for already-applied keys.  That includes DELETED keys: both write modes
+retain delete winners as tombstone entries (MoR deltas / compaction
+tombstones, CoW per-merge tombstone files — sources/lake.py), so a stale 'U'
+below a delete's LSN loses the comparison instead of resurrecting the key.
+Together: effectively-once.
 """
 
 from __future__ import annotations

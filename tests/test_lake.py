@@ -82,6 +82,25 @@ def test_bucket_pruning_keeps_untouched_files(spark, table):
     assert table.read().count() == 40
 
 
+def test_cow_stale_redelivery_of_deleted_key_is_noop(spark, table):
+    """CoW twin of the MoR tombstone test: a delete's LSN must keep beating a
+    stale redelivered 'U' even though the CoW rewrite drops the row — the
+    merge writes the delete winner as a tombstone file."""
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, "a"), _ev(5, "D", "c1", 1)], CHANGE_FEED_SCHEMA
+    )
+    table.merge(dedup_max_lsn(b1))
+    stale = spark.createDataFrame([_ev(2, "U", "c1", 1, "zombie")], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(stale))
+    keys = {(r["conv_id"], r["turn_idx"]) for r in table.read().collect()}
+    assert keys == {("c1", 0)}  # tombstone lsn 5 beat stale lsn 2
+    # genuinely newer insert resurrects
+    fresh = spark.createDataFrame([_ev(9, "I", "c1", 1, "reborn")], CHANGE_FEED_SCHEMA)
+    table.merge(dedup_max_lsn(fresh))
+    state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert state[("c1", 1)] == "reborn"
+
+
 def test_time_travel(spark, table):
     b1 = spark.createDataFrame([_ev(1, "I", "c1", 0, "v1")], CHANGE_FEED_SCHEMA)
     s1 = table.merge(dedup_max_lsn(b1))
