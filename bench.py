@@ -206,7 +206,12 @@ def main():
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(32, cpus),
+        # 64 = 2 partitions per core at the top level (classic 2-3x guidance):
+        # measured faster than 32 at BOTH 8 and 32 cores (straggler
+        # tolerance), and part of the FIXED job layout across levels
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(64, cpus)))
+        ),
         extra_conf={"spark.local.dir": f"{shuffle_dir}/spark_local_{cpus}"},
     )
 

@@ -1014,6 +1014,78 @@ def magneto_get_matches_f4(spark, sf_dir):
     return get_matches(src, tgt, topk=3, include_strsim_matches=True)
 
 
+@q(
+    "w_tumbling_window_counts",
+    """
+    SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start,
+           count(*) AS events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def w_tumbling_window_counts(spark, sf_dir):
+    """§2.13 window(ts, ...) metrics shape: tumbling 1-hour event-time
+    windows over the feed — the batch twin of the streaming windowed agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "pipeline_clean_dedup_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+          AS ltoks
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT doc_id, text, lang, (
+        (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+              length(text) < 0.2 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN len(list_filter(ltoks, x -> list_contains(
+                ['the','and','of','to','in','is','that','for','with','this'], x)))
+              * 1.0 / len(toks) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 /
+              len(toks) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+      ) / 4.0 AS quality
+      FROM t WHERE len(toks) > 0
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.75),
+    dedup AS (SELECT text, min(doc_id) AS doc_id FROM kept GROUP BY text)
+    SELECT k.lang, count(*) AS n_docs
+    FROM dedup d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY k.lang
+    """,
+)
+def pipeline_clean_dedup_quality(spark, sf_dir):
+    """Composite training-data pipeline: quality filter → exact dedup →
+    per-language counts — the chained shape a 100 TB corpus pass runs (each
+    stage is a filter/hash-agg/semi-join; one shuffle per agg, no collect)."""
+    from magneto_matcher_spark.operators.dedup import exact_dedup
+    from magneto_matcher_spark.operators.textops import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    kept = docs.withColumn("quality", quality_score_expr(F.col("text"))).filter(
+        (F.col("quality") >= 0.75) & (F.size(F.split(F.trim("text"), r"\s+")) > 0)
+    )
+    deduped = exact_dedup(kept)
+    return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 _ORDER_SRC = ["gender", "site_code"]
 _ORDER_TGT = ["gender", "flag_xyz"]
 # Only the identical-name pair survives both strategies on this fixture

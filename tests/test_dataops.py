@@ -1,6 +1,7 @@
 """Training-data pipeline operators: dedup family, text analysis, multimodal
 plumbing (SURVEY build brief — first-class alongside §2)."""
 
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -186,3 +187,26 @@ def test_sample_frames_halves_video_payload(spark, docs):
             assert r["after"] < r["before"]
         else:
             assert r["after"] == r["before"]
+
+
+def test_local_df_localtablescan_and_types(spark):
+    """local_df must produce LocalTableScan-backed frames (broadcastable, no
+    RDD-scan CartesianProducts) for every shape the engine uses."""
+    import pytest as _pytest
+
+    from magneto_matcher_spark.localframe import local_df
+
+    df = local_df(
+        spark,
+        [("a", 1.0, 3, ["x", "y"]), ("b", None, None, [])],
+        "c1 string, c2 double, c3 int, c4 array<string>",
+    )
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    rows = {r["c1"]: r for r in df.collect()}
+    assert rows["a"]["c4"] == ["x", "y"] and rows["b"]["c2"] is None
+    assert local_df(spark, [], "a string, b int").count() == 0
+    # names-only (inferred) frames are LocalTableScan too
+    nf = local_df(spark, [("x",), ("y",)], ["name"])
+    assert "LocalTableScan" in nf._jdf.queryExecution().executedPlan().toString()
+    with _pytest.raises(ValueError):
+        local_df(spark, [], ["name"])
