@@ -218,14 +218,16 @@ Scaling efficiency (T_N / T_4N) / 4, north-rule target >= 0.8:
 What bounds each mode: MoR's per-batch work is one partial-aggregated dedup
 shuffle plus a bucketed append — both fully parallel; its residual vs 1.0 is
 the serial snapshot commit (O(metadata), constant per batch) plus
-fixed-per-job scheduling that doesn't shrink with cores.  CoW additionally
-pays the full-outer merge join and the touched-bucket rewrite, whose task
-count is bounded by n_buckets (fixed job layout), so its high-N efficiency
-is structurally lower at this feed scale — the per-bucket rewrite is too
-small to amortize more parallelism (measured: sub-splitting buckets,
-files_per_bucket>1, made it slower, not faster).
+fixed-per-job scheduling that doesn't shrink with cores.  CoW runs a fused
+merge (ONE max-LSN aggregation over target ∪ batch — dedup folded into the
+merge itself) plus the touched-bucket rewrite, whose task count is bounded
+by n_buckets (fixed job layout), so its high-N efficiency is structurally
+lower at this feed scale — the per-bucket rewrite is too small to amortize
+more parallelism (measured: sub-splitting buckets, files_per_bucket>1, made
+it slower, not faster).
 
-`cow` = copy-on-write MERGE (full-outer join + rewrite of touched buckets —
+`cow` = copy-on-write MERGE (fused dedup+merge aggregation + rewrite of
+touched buckets —
 read-optimized); `mor` = merge-on-read (append bucketed delta files, O(batch)
 per merge, resolve max-LSN winners at read, `compact()` folds deltas —
 ingest-optimized, the mode a 10^10-event ingest would run).

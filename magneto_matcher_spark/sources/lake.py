@@ -518,19 +518,33 @@ class LakeTable:
         summary: dict | None = None,
         op_col: str = "op",
         touched: list[int] | None = None,
+        pre_deduped: bool = True,
+        dedup_strategy: str = "agg",
+        n_salts: int = 32,
     ) -> int:
         """J6: key-partition-pruned MERGE (SURVEY §2.3).
 
-        ``winners`` = the deduped batch (≤1 row per key) with ``op`` column and
-        the current payload columns.  Semantics::
+        ``winners`` = the batch with ``op`` column and the current payload
+        columns; ``pre_deduped=True`` promises ≤1 row per key.
+        ``pre_deduped=False`` hands the raw (normalized) batch over and FUSES
+        the max-LSN dedup into the merge aggregation itself — for CoW this
+        collapses three shuffle boundaries (batch dedup, two-sided merge join)
+        into ONE partial-aggregated shuffle of target ∪ batch, and removes the
+        persist the separate-dedup path needed.  ``dedup_strategy='salted'``
+        still pre-shrinks a hot-key batch two-phase before the fused agg.
+        Semantics::
 
             WHEN MATCHED AND s.op='D' AND s.lsn > t.lsn THEN DELETE
             WHEN MATCHED AND s.lsn > t.lsn              THEN UPDATE SET *
             WHEN NOT MATCHED AND s.op != 'D'            THEN INSERT *
 
+        (ties keep the target row: the fused aggregation orders by
+        ``struct(lsn, is_target)``, so equal-LSN redelivery is a no-op, same
+        as the join kernel's strict ``s.lsn > t.lsn``).
+
         Physical plan: bucket the batch, prune the manifest to touched buckets,
-        full-outer-join ONLY those buckets' rows with the batch, rewrite those
-        buckets, keep every untouched file by reference.
+        merge ONLY those buckets' rows with the batch (one hash aggregation),
+        rewrite those buckets, keep every untouched file by reference.
 
         ``touched``: optional precomputed bucket list.  Dedup has the same key
         set as its input, so callers that already scanned the raw batch (the
@@ -540,9 +554,10 @@ class LakeTable:
 
         Write modes (``create(write_mode=...)``):
 
-        - ``cow`` — copy-on-write: full-outer-join and rewrite the touched
-          buckets.  Read is a plain scan.  Right when batches are small
-          relative to buckets or reads dominate.
+        - ``cow`` — copy-on-write: one fused max-LSN aggregation over
+          target ∪ batch, then rewrite the touched buckets.  Read is a plain
+          scan.  Right when batches are small relative to buckets or reads
+          dominate.
         - ``mor`` — merge-on-read: append the winners (with ``op``) as bucketed
           DELTA files, no join, no rewrite — O(batch) per merge regardless of
           table size.  Reads resolve base ∪ deltas via max-LSN dedup;
@@ -550,15 +565,24 @@ class LakeTable:
           high-frequency ingest at 100 TB, where CoW would rewrite the table
           every micro-batch.
         """
-        from magneto_matcher_spark.plans.apply import merge_into_frame
+        from magneto_matcher_spark.plans.apply import dedup_max_lsn
 
         snapshot_id = self._next_snapshot_id()
         cols = self.column_names
         lsn_col = self.lsn_col
 
+        is_mor = self.meta.get("write_mode", "cow") == "mor"
+        if not pre_deduped and (is_mor or dedup_strategy == "salted"):
+            # MoR delta files stay ≤1 row/key (read-amplification bound);
+            # a hot-key CoW batch pre-shrinks two-phase before the fused agg
+            winners = dedup_max_lsn(
+                winners, key=self.key, lsn_col=lsn_col,
+                strategy=dedup_strategy, n_salts=n_salts,
+            )
+
         batch = self._with_bucket(winners.select(*cols, op_col))
 
-        if self.meta.get("write_mode", "cow") == "mor":
+        if is_mor:
             new_entries = self._write_data_files(batch, f"delta-{snapshot_id}", kind="delta")
             cur = self.current_snapshot()
             manifest = (list(cur["manifest"]) if cur else []) + new_entries
@@ -580,21 +604,7 @@ class LakeTable:
         old_manifest = list(cur["manifest"]) if cur else []
         kept = [e for e in old_manifest if e["bucket"] not in set(touched)]
 
-        # target view includes tombstones so a stale 'U' below a delete's LSN
-        # loses the merge comparison instead of resurrecting the key; the
-        # merged output keeps delete winners, which the write routes into
-        # kind='tombstone' files IN THE SAME JOB (split_tombstones_on) — the
-        # rewrite re-winnows tombstones every merge (max-LSN fresh, auto-GC'd
-        # once a newer insert wins the key).
-        target = self.read_buckets(touched, keep_tombstones=True)
-        merged = merge_into_frame(
-            target,
-            batch.drop("_bucket"),
-            key=self.key,
-            lsn_col=lsn_col,
-            op_col=op_col,
-            keep_tombstones=True,
-        )
+        merged = self.merged_frame(batch.drop("_bucket"), touched, op_col=op_col)
         new_entries = self._write_data_files(
             self._with_bucket(merged.select(*cols, op_col)),
             f"snap-{snapshot_id}",
@@ -610,6 +620,72 @@ class LakeTable:
         }
         s.update(summary or {})
         return self._commit("merge", kept + new_entries, s)
+
+    def merged_frame(
+        self, batch: DataFrame, touched: list[int], op_col: str = "op"
+    ) -> DataFrame:
+        """The CoW merge plan: MERGE as ONE aggregation, not a full-outer
+        join — (touched-bucket target ∪ batch) → max_by(payload,
+        struct(lsn, is_target)) per key.
+
+        Identical semantics to the join kernel (plans/apply.py
+        merge_into_frame): the ``is_target`` tiebreak makes equal-LSN
+        redelivery keep the target row (the join's strict ``s.lsn > t.lsn``),
+        and when the batch is raw the same aggregation IS the within-batch
+        max-LSN dedup — partial (map-side) aggregation shrinks duplicates
+        before the only shuffle.  The target view includes tombstones so a
+        stale 'U' below a delete's LSN loses the comparison instead of
+        resurrecting the key; delete winners stay in the output (op='D') for
+        the write to route into tombstone files in the same job.
+
+        The target side is read RAW, not resolved: a pure-CoW bucket's data
+        and tombstone files hold disjoint key sets (every rewrite winnows one
+        winner per key and routes it by op), so pre-resolving them would be a
+        no-op costing an extra aggregation shuffle — the one fused agg picks
+        the winner across {base rows, tombstone rows, batch rows} directly.
+        Buckets that do carry delta files (mixed-mode tables) fall back to
+        the resolved read."""
+        cols = self.column_names
+        out_cols = [*cols, op_col]
+        target = self._raw_target_view(touched, op_col=op_col)
+        unioned = target.withColumn("_tgt", F.lit(1)).unionByName(
+            batch.select(*out_cols).withColumn("_tgt", F.lit(0))
+        )
+        payload = F.struct(*[F.col(c) for c in out_cols])
+        order = F.struct(F.col(self.lsn_col), F.col("_tgt"))
+        return (
+            unioned.groupBy(*self.key)
+            .agg(F.max_by(payload, order).alias("_w"))
+            .select([F.col(f"_w.{c}").alias(c) for c in out_cols])
+        )
+
+    def _raw_target_view(self, touched: list[int], op_col: str = "op") -> DataFrame:
+        """Touched-bucket rows for the merge aggregation, WITHOUT resolution:
+        data files as op='U', tombstone files with their op column, no dedup
+        (pure-CoW buckets are already ≤1 row per key across both kinds).
+        Falls back to the resolved read when deltas are present."""
+        snap = self.current_snapshot()
+        wanted = set(touched)
+        manifest = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in wanted]
+        if any(e.get("kind", "data") == "delta" for e in manifest):
+            return self.read_buckets(touched, keep_tombstones=True)
+        schema_id = self.meta["current_schema_id"]
+        data = [e for e in manifest if e.get("kind", "data") == "data"]
+        tombs = [e for e in manifest if e.get("kind", "data") == "tombstone"]
+        parts: list[DataFrame] = []
+        if data:
+            parts.append(
+                self._read_manifest(data, schema_id).withColumn(op_col, F.lit("U"))
+            )
+        if tombs:
+            parts.append(self._read_manifest(tombs, schema_id, extra_cols=(op_col,)))
+        if not parts:
+            empty = self.spark.createDataFrame([], self._schema_for(schema_id))
+            return empty.withColumn(op_col, F.lit("U"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def stage_delta(self, winners: DataFrame, op_col: str = "op") -> list[dict]:
         """Write a batch's MoR delta files WITHOUT committing; returns the

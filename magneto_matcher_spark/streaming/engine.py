@@ -187,41 +187,43 @@ class CdcEngine:
         batch = self._resolve_drift(batch)
         batch = normalize_payload(batch)
         strategy, hot_est = self._resolve_dedup_strategy(batch, n_events)
-        winners = dedup_max_lsn(
-            batch,
-            key=self.table.key,
-            lsn_col=lsn_col,
-            strategy=strategy,
-            n_salts=self.n_salts,
-        )
-        metrics["dedup_used"] = strategy
-        if hot_est is not None:
-            metrics["hot_key_frac_est"] = round(hot_est, 4)
-        # CoW merge needs the touched-bucket set (a collect over the winners)
-        # AND the winners rows for the join+rewrite; persisting makes the
-        # dedup shuffle run once and serve both.  Winners are micro-batch
-        # sized (≤ one row per key in the batch), so MEMORY_AND_DISK is safe
-        # at any table size.  MoR consumes winners exactly once (the delta
-        # write) — no persist needed.
         cow = self.table.meta.get("write_mode", "cow") == "cow"
         if cow:
-            winners = winners.persist()
+            # fused path: the max-LSN dedup happens INSIDE the merge
+            # aggregation (sources/lake.py merge(pre_deduped=False)) — one
+            # partial-aggregated shuffle of target ∪ batch instead of a
+            # dedup shuffle + persist + two-sided merge join.  'salted'
+            # batches still pre-shrink two-phase inside merge().
+            to_merge = batch
+            metrics["dedup_used"] = f"fused-{strategy}"
+        else:
+            # MoR consumes winners exactly once (the delta write) — dedup
+            # up front so delta files stay ≤1 row/key.
+            to_merge = dedup_max_lsn(
+                batch,
+                key=self.table.key,
+                lsn_col=lsn_col,
+                strategy=strategy,
+                n_salts=self.n_salts,
+            )
+            metrics["dedup_used"] = strategy
+        if hot_est is not None:
+            metrics["hot_key_frac_est"] = round(hot_est, 4)
 
         # per-partition lineage: source → lsn span per input partition
         t1 = time.time()
         lineage = {"source": source_desc or "", "start": int(lo), "end": int(hi)}
-        try:
-            snapshot_id = self.table.merge(
-                winners,
-                summary={
-                    "offsets.start": int(lo),
-                    "offsets.end": int(hi),
-                    "source.lineage": json.dumps(lineage),
-                },
-            )
-        finally:
-            if cow:
-                winners.unpersist()
+        snapshot_id = self.table.merge(
+            to_merge,
+            summary={
+                "offsets.start": int(lo),
+                "offsets.end": int(hi),
+                "source.lineage": json.dumps(lineage),
+            },
+            pre_deduped=not cow,
+            dedup_strategy=strategy,
+            n_salts=self.n_salts,
+        )
         compacted = self._maybe_compact() if not cow else False
         t_merge = time.time() - t1
         dur = time.time() - t0

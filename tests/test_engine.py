@@ -160,7 +160,7 @@ def test_auto_dedup_picks_salted_on_hot_feed(spark, tmp_path):
     auto_eng = CdcEngine(auto_t, dedup_strategy="auto", n_salts=8,
                          hot_key_threshold=0.02, auto_min_events=0)
     metrics = auto_eng.replay(paths)
-    assert all(m["dedup_used"] == "salted" for m in metrics)
+    assert all(m["dedup_used"].endswith("salted") for m in metrics)
     assert all(m["hot_key_frac_est"] > 0.02 for m in metrics)
 
     # cold feed → stays on agg
@@ -171,7 +171,7 @@ def test_auto_dedup_picks_salted_on_hot_feed(spark, tmp_path):
     cold_eng = CdcEngine(cold_t, dedup_strategy="auto",
                          hot_key_threshold=0.02, auto_min_events=0)
     cm = cold_eng.replay(cold_paths)
-    assert cm[0]["dedup_used"] == "agg"
+    assert cm[0]["dedup_used"].endswith("agg")
 
     ref_t = _mk_table(spark, tmp_path, "ref_t")
     CdcEngine(ref_t, dedup_strategy="agg").replay(paths)
