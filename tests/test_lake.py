@@ -325,3 +325,42 @@ def test_mor_evolve_maps_old_delta_files(spark, mor_table):
     mor_table.evolve(renames={"tool": "tool_name"}, adds=[("tool_meta", "string")])
     row = mor_table.read().collect()[0]
     assert row["tool_name"] == "grep" and row["tool_meta"] is None
+
+
+def test_cow_fused_merge_plan_single_exchange(spark, table):
+    """The CoW merge is ONE partial-aggregated shuffle: raw target scan
+    (data + tombstone files, unresolved) ∪ batch → max_by agg.  No join, no
+    pre-resolve of tombstoned buckets, exactly one Exchange before the
+    bucket-repartition write."""
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0), _ev(2, "I", "c2", 0), _ev(3, "D", "c2", 0)],
+        CHANGE_FEED_SCHEMA,
+    )
+    table.merge(b1, pre_deduped=False)
+    assert any(e.get("kind") == "tombstone"
+               for e in table.current_snapshot()["manifest"])
+
+    b2 = spark.createDataFrame(
+        [_ev(4, "U", "c1", 0, "new"), _ev(5, "U", "c2", 0, "back")],
+        CHANGE_FEED_SCHEMA,
+    )
+    merged = table.merged_frame(b2, touched=list(range(table.n_buckets)))
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the key agg shuffle, nothing else
+    assert "Join" not in plan
+
+    table.merge(b2, pre_deduped=False)
+    state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert state == {("c1", 0): "new", ("c2", 0): "back"}
+
+
+def test_cow_merge_equal_lsn_keeps_target(spark, table):
+    """Fused-agg tiebreak parity with the join kernel's strict s.lsn > t.lsn:
+    an equal-LSN redelivery must NOT overwrite the stored row."""
+    b1 = spark.createDataFrame([_ev(7, "I", "c1", 0, "orig")], CHANGE_FEED_SCHEMA)
+    table.merge(b1, pre_deduped=False)
+    redelivery = spark.createDataFrame(
+        [_ev(7, "U", "c1", 0, "tampered")], CHANGE_FEED_SCHEMA
+    )
+    table.merge(redelivery, pre_deduped=False)
+    assert [r["text"] for r in table.read().collect()] == ["orig"]
