@@ -1042,6 +1042,41 @@ def w_tumbling_window_counts(spark, sf_dir):
 
 
 @q(
+    "w_sessionize_gaps",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value, epoch(ts) AS t,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), f AS (
+      SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800.0
+                     THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+      FROM f
+    )
+    SELECT user_id, session_idx,
+           min(t) AS session_start, max(t) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def w_sessionize_gaps(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the batch
+    twin of the applyInPandasWithState streaming sessionizer
+    (streaming/sessionize.py).  Pure Catalyst: lag window + running sum +
+    partial-aggregated groupBy; fractional-epoch arithmetic matches the
+    DuckDB oracle exactly."""
+    from magneto_matcher_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800.0)
+
+
+@q(
     "pipeline_clean_dedup_quality",
     r"""
     WITH t AS (

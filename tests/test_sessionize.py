@@ -1,0 +1,118 @@
+"""Sessionization twins: batch gaps-and-islands vs applyInPandasWithState
+stream (SURVEY.md §2.13 custom stateful operator)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from magneto_matcher_spark.streaming.sessionize import (
+    SESSION_OUT_SCHEMA,
+    sessionize_batch,
+    sessionize_stream,
+)
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, user, offset_s, value=1.0):
+    return (eid, T0 + datetime.timedelta(seconds=offset_s), user, value)
+
+
+# user 1: two sessions (gap 2000s > 1800s); user 2: one session, sub-gap steps
+EVENTS = [
+    _ev(1, 1, 0, 1.5),
+    _ev(2, 1, 100, 2.0),
+    _ev(3, 1, 2100, 3.0),     # 2000s after event 2 → new session
+    _ev(4, 1, 2200, 4.0),
+    _ev(5, 2, 0, 10.0),
+    _ev(6, 2, 1700, 20.0),    # 1700s < gap → same session
+    _ev(7, 2, 3300, 30.0),    # 1600s < gap → same session
+]
+
+
+def test_batch_sessionize_islands(spark):
+    out = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in sessionize_batch(
+            spark.createDataFrame(EVENTS, EV_SCHEMA)
+        ).collect()
+    }
+    base = T0.timestamp()
+    assert out == {
+        (1, 1): (base, base + 100, 2, 3.5),
+        (1, 2): (base + 2100, base + 2200, 2, 7.0),
+        (2, 1): (base, base + 3300, 3, 60.0),
+    }
+
+
+@pytest.mark.parametrize("split", [3, 5])
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path, split):
+    """Drive the stateful stream in two availableNow drops; every session the
+    batch twin closes (i.e. all but each user's tail session) must be emitted
+    with identical bounds/aggregates, regardless of where the feed splits."""
+    in_dir = tmp_path / f"in_{split}"
+    ckpt = tmp_path / f"ckpt_{split}"
+    in_dir.mkdir()
+    emitted: list = []
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(in_dir))
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop(EVENTS[:split], "d1")
+    drop(EVENTS[split:], "d2")
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in emitted
+    }
+
+    batch = sessionize_batch(spark.createDataFrame(EVENTS, EV_SCHEMA)).collect()
+    open_tail = {}
+    for r in batch:
+        cur = open_tail.get(r["user_id"])
+        if cur is None or r["session_idx"] > cur["session_idx"]:
+            open_tail[r["user_id"]] = r
+    expect = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in batch
+        if open_tail[r["user_id"]]["session_idx"] != r["session_idx"]
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_stream_sessionize_schema(spark):
+    assert SESSION_OUT_SCHEMA.count(",") == 4
