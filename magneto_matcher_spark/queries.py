@@ -1077,6 +1077,74 @@ def w_sessionize_gaps(spark, sf_dir):
 
 
 @q(
+    "stream_sessionize_closed",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value, epoch(ts) AS t,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), f AS (
+      SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800.0
+                     THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+      FROM f
+    ), agg AS (
+      SELECT user_id, session_idx,
+             min(t) AS session_start, max(t) AS session_end,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    QUALIFY session_idx < max(session_idx) OVER (PARTITION BY user_id)
+    """,
+)
+def stream_sessionize_closed(spark, sf_dir):
+    """The STREAMING sessionizer (applyInPandasWithState,
+    streaming/sessionize.py), driven availableNow over the events table and
+    hash-verified against DuckDB: the stream emits exactly the sessions a
+    later same-user event closes — i.e. every (user, session) except each
+    user's open tail.  Custom stateful streaming normally only gets a
+    rows-only verdict; closure-by-event-time makes this one oracle-checkable.
+    """
+    import shutil
+    import tempfile
+
+    from magneto_matcher_spark.streaming.sessionize import sessionize_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    rows: list = []
+    try:
+        # file streaming source needs a directory basePath; glob-filter the
+        # one table file out of the sf dir
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q_ = (
+            sessionize_stream(stream)
+            .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    from magneto_matcher_spark.streaming.sessionize import SESSION_OUT_SCHEMA
+
+    return spark.createDataFrame(rows, SESSION_OUT_SCHEMA)
+
+
+@q(
     "pipeline_clean_dedup_quality",
     r"""
     WITH t AS (
