@@ -18,10 +18,13 @@ block matmul and per-row top-k — each row sees the whole broadcast corpus, so
 the result is EXACT brute-force kNN, distributed over the big side with zero
 shuffle (the only shuffle is the optional final ordering).
 
-At 100 TB scale the corpus no longer fits a broadcast; ``knn_topk_lsh``
-buckets both sides by random-hyperplane SimHash signs so candidates co-locate,
-then scores within buckets — the approximate scale path (multi-probe keeps
-recall reasonable).
+At 100 TB scale the corpus no longer fits a broadcast; two approximate
+paths shuffle both sides once on a locality key instead: ``knn_topk_lsh``
+(random-hyperplane SimHash buckets, data-oblivious, multi-table for recall)
+and ``knn_topk_ivf`` (inverted-file cells from a seeded k-means coarse
+quantizer trained on a bounded sample — learned cells, so clustered corpora
+get higher recall per candidate; the corpus assignment is the persistable
+index).
 """
 
 from __future__ import annotations
@@ -213,6 +216,113 @@ def knn_topk_lsh(
     )
     scored = cand.select(
         "q_id", "neighbor_id", cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumnRenamed("q_id", query_id)
+    )
+
+
+# --------------------------------------------------------------------------
+# scale path 2: IVF (inverted-file) approximate kNN — learned cells
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    sample_cap: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded Lloyd's k-means over a bounded corpus sample → L2-normalized
+    centroid matrix (n_cells, dim).  The sample collect is capped at
+    ``sample_cap`` rows — O(sample) driver work regardless of corpus size
+    (at 100 TB you train the coarse quantizer on a sample by construction;
+    the full corpus is only ever ASSIGNED, never collected)."""
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = corpus.select(vec_col) if frac >= 1.0 else corpus.select(vec_col).sample(
+        fraction=frac, seed=seed
+    )
+    m = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cn = np.linalg.norm(cents, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cents = cents / cn
+    return cents
+
+
+def knn_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate kNN via inverted-file cells: assign every corpus vector to
+    its nearest centroid (one int per row), probe each query's ``n_probe``
+    nearest cells, exact cosine within the probed cells, per-query top-k.
+
+    Same shuffle budget as ``knn_topk_lsh`` (both sides exchange once on the
+    cell id, corpus fan-out ×1 instead of ×n_tables) but cells are LEARNED,
+    so clustered corpora get higher recall per candidate than data-oblivious
+    hyperplanes.  The centroid matrix is tiny (n_cells × dim) and broadcast;
+    at scale the corpus assignment is computed once and persisted as the
+    index."""
+    spark = queries.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, vec_col=vec_col)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        cents = bc.value
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((m / norms) @ cents.T, axis=1).astype(np.int32))
+
+    probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        cents = bc.value
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cents.T
+        idx = np.argpartition(-sims, probe - 1, axis=1)[:, :probe].astype(np.int32)
+        return pd.Series([row.tolist() for row in idx])
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", _cell(F.col("c_vec")))
+    q = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cell", F.explode(_probe_cells(F.col("q_vec"))))
+
+    scored = q.join(c, "cell").select(
+        "q_id",
+        "neighbor_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

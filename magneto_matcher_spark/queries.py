@@ -892,6 +892,21 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q("ann_ivf_topk")  # seeded-numpy k-means cells: rows-only
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate kNN (operators/embedding.py knn_topk_ivf): learned
+    coarse-quantizer cells, probe-3, exact cosine within probed cells.  The
+    third ANN tier next to brute-force (exact, broadcast) and SimHash-LSH
+    (data-oblivious buckets)."""
+    from magneto_matcher_spark.operators.embedding import knn_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_topk_ivf(queries, emb, k=5, n_cells=16, n_probe=3).select(
+        "vec_id", "neighbor_id", F.round("score", 4).alias("score")
+    )
+
+
 # ===========================================================================
 # text analysis family
 # ===========================================================================

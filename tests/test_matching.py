@@ -586,3 +586,21 @@ def test_ground_truth_scans_csv_and_json(spark, tmp_path):
     got = {(r["source_column"], r["target_column"])
            for r in read_ground_truth_json(spark, str(j)).collect()}
     assert got == {("PatientID", "patient_id"), ("notes", "comments")}
+
+
+def test_knn_ivf_recall_and_determinism(spark):
+    from magneto_matcher_spark.operators.embedding import knn_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300).cache()
+    exact = knn_topk(emb.limit(20), emb, k=10).collect()
+    approx = knn_topk_ivf(emb.limit(20), emb, k=10, n_cells=8, n_probe=3).collect()
+    exact_set = {(r["vec_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["vec_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.5, f"IVF recall too low: {recall}"
+    # each corpus row lives in exactly one cell → no duplicate candidates
+    assert len(approx) == len(approx_set)
+    # seeded k-means + deterministic tie-break → identical on re-run
+    again = {(r["vec_id"], r["neighbor_id"]) for r in
+             knn_topk_ivf(emb.limit(20), emb, k=10, n_cells=8, n_probe=3).collect()}
+    assert again == approx_set
