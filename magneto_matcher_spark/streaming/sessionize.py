@@ -93,9 +93,11 @@ def sessionize_stream(
                 if last is not None and (t - last) > gap_seconds:
                     closed.append((user_id, start, last, n, round(sv, 4)))
                     start, n, sv = None, 0, 0.0
-                if start is None:
-                    start = t
-                last = t
+                # bounded cross-batch disorder folds into the open session
+                # (start/last are min/max, never moved backward by a late
+                # event); lateness beyond the gap needs an upstream watermark
+                start = t if start is None else min(start, t)
+                last = t if last is None else max(last, t)
                 n += 1
                 sv += float(val)
         state.update((start, last, n, sv))

@@ -116,3 +116,78 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path, split)
 
 def test_stream_sessionize_schema(spark):
     assert SESSION_OUT_SCHEMA.count(",") == 4
+
+
+def test_stream_sessionize_property_random_feeds(spark, tmp_path):
+    """Property: for ANY random feed split into time-ordered drops, the
+    stream's emitted sessions == the batch twin's closed sessions (all but
+    each user's tail).  Deterministic seeded cases instead of a live
+    hypothesis driver — each case costs two streaming restarts (~seconds),
+    so the suite pins a fixed spread of shapes: single-user bursts,
+    interleaved users, gap-boundary (exactly 1800s = same session,
+    1800.001s = split), empty first drop."""
+    import random
+
+    for case, seed in enumerate([11, 23, 37]):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for user in range(1, rng.randint(2, 4)):
+            t = rng.uniform(0, 600)
+            for _ in range(rng.randint(3, 12)):
+                eid += 1
+                rows.append(
+                    (eid, T0 + datetime.timedelta(seconds=t), user,
+                     round(rng.uniform(0.5, 20.0), 2))
+                )
+                # mix sub-gap steps, the exact 1800s boundary, and splits
+                t += rng.choice([60.0, 300.0, 1800.0, 1800.001, 2500.0])
+        rows.sort(key=lambda r: (r[1], r[0]))
+        cutoff = rows[len(rows) // 2][1]
+        d1 = [r for r in rows if r[1] <= cutoff]
+        d2 = [r for r in rows if r[1] > cutoff]
+
+        in_dir = tmp_path / f"pin_{case}"
+        ckpt = tmp_path / f"pckpt_{case}"
+        in_dir.mkdir()
+        emitted: list = []
+        for name, drop_rows in (("d1", d1), ("d2", d2)):
+            if not drop_rows:
+                continue
+            spark.createDataFrame(drop_rows, EV_SCHEMA).coalesce(1).write.parquet(
+                str(in_dir / name)
+            )
+            q = (
+                sessionize_stream(
+                    spark.readStream.schema(EV_SCHEMA)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(str(in_dir))
+                )
+                .writeStream.foreachBatch(
+                    lambda df, _b: emitted.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        batch = sessionize_batch(spark.createDataFrame(rows, EV_SCHEMA)).collect()
+        tails = {}
+        for r in batch:
+            if r["user_id"] not in tails or r["session_idx"] > tails[r["user_id"]]:
+                tails[r["user_id"]] = r["session_idx"]
+        expect = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in batch
+            if r["session_idx"] != tails[r["user_id"]]
+        }
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in emitted
+        }
+        assert got == expect, f"case {case} (seed {seed})"
