@@ -47,7 +47,10 @@ def prepare_shared_feed(feed_dir: str, n_events: int, n_batches: int) -> None:
                    capture_output=True, text=True)
 
 
-def run_level(cpus: int, n_events: int, n_batches: int, feed_dir: str) -> dict:
+def run_level(
+    cpus: int, n_events: int, n_batches: int, feed_dir: str,
+    modes: str = "cow,mor",
+) -> dict:
     """One level = bench.py in a fresh JVM PINNED to `cpus` cores with
     taskset.  `local[N]` alone only limits task slots — GC, shuffle, netty
     and compression threads would still spread over all 32 cores, making
@@ -60,7 +63,7 @@ def run_level(cpus: int, n_events: int, n_batches: int, feed_dir: str) -> dict:
         SPARK_GRAFT_BATCHES=str(n_batches),
         SPARK_GRAFT_REPS="1",
         SPARK_GRAFT_BENCH_MODE="cdc_only",
-        SPARK_GRAFT_WRITE_MODES="cow,mor",
+        SPARK_GRAFT_WRITE_MODES=modes,
         SPARK_GRAFT_FEED_DIR=feed_dir,
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
@@ -119,6 +122,11 @@ def main():
     levels = tuple(
         int(x) for x in (sys.argv[4].split(",") if len(sys.argv) > 4 else (2, 8, 32))
     )
+    # argv[5]: write modes (default both); argv[6]: output md path relative
+    # to BENCH/ — lets a large-batch MoR-only run land in its own section
+    # file instead of overwriting the headline table
+    modes = tuple(sys.argv[5].split(",")) if len(sys.argv) > 5 else ("cow", "mor")
+    out_name = sys.argv[6] if len(sys.argv) > 6 else "BASELINE.md"
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     feed_dir = tempfile.mkdtemp(prefix="scaling_feed_", dir=base)
@@ -133,7 +141,7 @@ def main():
         for r in range(reps):
             for cpus in levels:
                 print(f"=== rep {r + 1}/{reps} local[{cpus}] ===", flush=True)
-                res = run_level(cpus, n_events, n_batches, feed_dir)
+                res = run_level(cpus, n_events, n_batches, feed_dir, modes=",".join(modes))
                 runs[cpus].append(res["by_write_mode"])
                 print(
                     json.dumps(
@@ -149,7 +157,7 @@ def main():
 
     lines = []
     best: dict[str, dict[int, float]] = {}
-    for mode in ("cow", "mor"):
+    for mode in modes:
         best[mode] = {}
         for cpus in levels:
             durs = [run[mode]["duration_s"] for run in runs[cpus]]
@@ -167,12 +175,13 @@ def main():
     effs: dict[tuple, dict[str, float]] = {}
     for lo, hi in pairs:
         effs[(lo, hi)] = {
-            m: (best[m][lo] / best[m][hi]) / 4.0 for m in ("cow", "mor")
+            m: (best[m][lo] / best[m][hi]) / 4.0 for m in modes
         }
         hw = min(bw.get(hi, bw[32]) / bw.get(lo, bw[8]), 4.0) / 4.0
         e = effs[(lo, hi)]
+        mode_str = ", ".join(f"{m} = {e[m]:.3f}" for m in modes)
         eff_lines.append(
-            f"- **N={lo} vs 4N={hi}: cow = {e['cow']:.3f}, mor = {e['mor']:.3f}**"
+            f"- **N={lo} vs 4N={hi}: {mode_str}**"
             f" (hardware bandwidth-scaling ceiling for this pair ≈ {hw:.2f})"
         )
 
@@ -242,7 +251,7 @@ single-node; real-cluster throughput depends on shuffle fabric and
 object-store I/O (which DO scale with executors, unlike this box's shared
 memory bus) and is NOT claimed here.
 """
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out_path = os.path.join(REPO, "BENCH", out_name)
     with open(out_path, "w") as fh:
         fh.write(md)
     print(md)
