@@ -76,13 +76,24 @@ def run_level(
     return json.loads(line)
 
 
+_BW_BARRIER = None
+
+
+def _bw_init(barrier):
+    global _BW_BARRIER
+    _BW_BARRIER = barrier
+
+
 def _bw_burn(_):
     """One worker's streaming-read bandwidth (GB/s), timed INSIDE the worker.
 
     The buffer is written before timing — np.zeros alone maps the kernel's
     shared zero page, so summing it would measure cache/zero-page reads, not
     DRAM.  Allocation/fill and Pool spawn overhead are outside the timed
-    region; only the summation passes are timed."""
+    region, and every worker waits at a START BARRIER after its warm pass —
+    without it, spawn stagger could serialize the timed regions and the
+    per-worker sum would overstate the concurrent ceiling (each worker would
+    see near-single-process bandwidth)."""
     import time as _time
 
     import numpy as np
@@ -91,6 +102,8 @@ def _bw_burn(_):
     a = np.empty(n)
     a[:] = 1.0  # touch every page: forces real physical backing
     s = a.sum()  # untimed warm pass
+    if _BW_BARRIER is not None:
+        _BW_BARRIER.wait()
     t0 = _time.time()
     passes = 5
     for _ in range(passes):
@@ -103,13 +116,14 @@ def _bw_burn(_):
 def measure_mem_bandwidth() -> dict[int, float]:
     """Aggregate streaming-read bandwidth (GB/s) at 1/2/4/8/32 concurrent
     processes — the hardware context for interpreting thread-scaling numbers.
-    Aggregate = sum of per-worker in-region bandwidths (each worker times its
-    own summation loop, so pool startup skew doesn't pollute the figure)."""
+    Aggregate = sum of per-worker in-region bandwidths; a start barrier makes
+    the timed regions overlap so the sum measures true concurrency."""
     import multiprocessing as mp
 
     out = {}
     for n in (1, 2, 4, 8, 32):
-        with mp.Pool(n) as p:
+        barrier = mp.Barrier(n)
+        with mp.Pool(n, initializer=_bw_init, initargs=(barrier,)) as p:
             per_worker = p.map(_bw_burn, range(n))
         out[n] = round(sum(per_worker), 1)
     return out

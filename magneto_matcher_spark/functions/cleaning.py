@@ -121,17 +121,26 @@ def clean_column_name_expr(c: Column) -> Column:
     return F.trim(out)
 
 
+#: Java regex ``\s`` is ASCII-only ([ \t\n\x0B\f\r]) while Python's is
+#: Unicode-aware, and Spark ``trim`` removes only spaces while ``str.strip``
+#: eats all Unicode whitespace — the Python twins must use THESE so a column
+#: name with e.g. a NBSP cleans identically on both paths.
+_JAVA_WS = " \t\n\x0b\f\r"
+_JAVA_WS_CLASS = r"[ \t\n\x0b\f\r]"
+
+
 def clean_column_name(name: str) -> str:
     """P3, Python twin of :func:`clean_column_name_expr` for driver-side
-    metadata work (schema-drift name matching) — identical regex chain."""
+    metadata work (schema-drift name matching) — identical regex chain,
+    pinned to Java-regex ASCII whitespace semantics (see ``_JAVA_WS``)."""
     import re
 
-    out = name.strip()
+    out = name.strip(" ")
     out = re.sub(r"(?<=[a-z])(?=[A-Z])", " ", out)
     out = out.lower()
-    out = re.sub(r"[^a-zA-Z0-9\s]", " ", out)
-    out = re.sub(r"\s+", " ", out)
-    return out.strip()
+    out = re.sub(r"[^a-zA-Z0-9" + _JAVA_WS + "]", " ", out)
+    out = re.sub(_JAVA_WS_CLASS + "+", " ", out)
+    return out.strip(" ")
 
 
 def preprocess_string_expr(c: Column) -> Column:

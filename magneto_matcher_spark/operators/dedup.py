@@ -347,13 +347,24 @@ def embedding_neardup_pairs(
     from magneto_matcher_spark.operators.embedding import knn_topk, knn_topk_lsh
 
     if method == "auto":
-        method = "bruteforce" if emb.count() <= max_broadcast_rows else "lsh"
+        # bounded probe: only needs to know whether the corpus exceeds the
+        # broadcast threshold — never a full count of a 100 TB table
+        probe = emb.limit(max_broadcast_rows + 1).count()
+        method = "bruteforce" if probe <= max_broadcast_rows else "lsh"
     if method == "bruteforce":
         nn = knn_topk(emb, emb, k=k + 1, query_id=id_col, corpus_id=id_col,
                       query_vec=vec_col, corpus_vec=vec_col)
     elif method == "lsh":
         if dim is None:
-            dim = len(emb.select(vec_col).first()[0])
+            first = emb.select(vec_col).first()
+            if first is None:  # empty corpus → no pairs (bruteforce parity)
+                return emb.sparkSession.createDataFrame(
+                    [],
+                    f"a_id {emb.schema[id_col].dataType.simpleString()}, "
+                    f"b_id {emb.schema[id_col].dataType.simpleString()}, "
+                    "cosine double",
+                )
+            dim = len(first[0])
         nn = knn_topk_lsh(emb, emb, k=k + 1, dim=dim, n_bits=n_bits,
                           n_tables=n_tables, query_id=id_col, vec_col=vec_col,
                           corpus_id=id_col)

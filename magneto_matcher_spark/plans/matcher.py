@@ -36,7 +36,16 @@ from magneto_matcher_spark.operators.profile import (
 )
 from magneto_matcher_spark.operators.serialize import serialize_profiles
 from magneto_matcher_spark.operators.strsim import strsim_candidates
-from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA
+from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA, MATCHES_SCHEMA
+from pyspark.sql import types as _T
+
+#: get_matches' OUTPUT shape — the MATCHES columns plus the winning strategy;
+#: degenerate paths must return this, not CANDIDATES_SCHEMA, so consumers
+#: (drift resolver's rank filter, benchrunner metrics) see the same columns
+#: whether or not any candidates existed
+MATCHES_OUT_SCHEMA = _T.StructType(
+    [*MATCHES_SCHEMA.fields, _T.StructField("strategy", _T.StringType(), False)]
+)
 
 DEFAULT_PARAMS = {
     "encoding_mode": "header_values_verbose",
@@ -141,10 +150,16 @@ def embedding_candidates(
 # --------------------------------------------------------------------------
 
 def _clean_equal_key(name: str) -> str:
-    """Python twin of equal_candidates' P11 key cleaning."""
+    """Python twin of equal_candidates' P11 key cleaning — Java-regex ASCII
+    whitespace + Spark trim (space-only) semantics, so driver and
+    distributed cascades agree on names containing exotic whitespace."""
     import re
 
-    return re.sub(r"[^a-zA-Z0-9\s]", " ", name.strip().lower())
+    from magneto_matcher_spark.functions.cleaning import _JAVA_WS
+
+    return re.sub(
+        r"[^a-zA-Z0-9" + _JAVA_WS + "]", " ", name.strip(" ").lower()
+    )
 
 
 def _equal_pairs(
@@ -307,7 +322,7 @@ def get_matches(
         params["_priorities"] = dict(DEFAULT_PRIORITIES)
 
     if not source_df.columns or not target_df.columns:  # P12 empty guard
-        return spark.createDataFrame([], CANDIDATES_SCHEMA)
+        return spark.createDataFrame([], MATCHES_OUT_SCHEMA)
 
     if clean:
         source_df = clean_df(source_df)
@@ -327,7 +342,7 @@ def get_matches(
             source_df, target_df, src_table, tgt_table, params, profiles
         )
     if matches is None:
-        return spark.createDataFrame([], CANDIDATES_SCHEMA)
+        return spark.createDataFrame([], MATCHES_OUT_SCHEMA)
 
     if params["use_bp_reranker"]:
         from magneto_matcher_spark.operators.rerank import bp_rerank
@@ -374,9 +389,9 @@ def _get_matches_driver(
     source_df, target_df, src_table, tgt_table, params, profiles
 ):
     """Driver-local cascade over collected profiles — zero Spark jobs for the
-    candidate math; only the (distributed) profiling actions remain.  Source
-    and target profiles run as CONCURRENT Spark actions (two driver threads),
-    so the matcher pays one profile latency, not two."""
+    candidate math; only the (distributed) profiling remains, and both
+    tables profile in ONE fused ``profile_rows_multi`` action (a single
+    unioned melt pass), so the matcher pays one profile latency, not two."""
     spark = source_df.sparkSession
     pri = params["_priorities"]
     src_samples = None

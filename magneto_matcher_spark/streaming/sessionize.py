@@ -86,8 +86,13 @@ def sessionize_stream(
         else:
             start, last, n, sv = None, None, 0, 0.0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a group's rows arrive as MULTIPLE arbitrarily-ordered Arrow chunks
+        # (maxRecordsPerBatch slices); sorting per chunk would make session
+        # assignment chunk-order-dependent — concat first, sort ONCE.  Memory
+        # is bounded by one user's events within one micro-batch.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = ts.timestamp()
                 if last is not None and (t - last) > gap_seconds:

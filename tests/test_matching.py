@@ -604,3 +604,24 @@ def test_knn_ivf_recall_and_determinism(spark):
     again = {(r["vec_id"], r["neighbor_id"]) for r in
              knn_topk_ivf(emb.limit(20), emb, k=10, n_cells=8, n_probe=3).collect()}
     assert again == approx_set
+
+
+def test_get_matches_degenerate_paths_keep_output_schema(spark):
+    """Empty inputs / all-strategies-off must return the MATCHES output shape
+    (src_table, src_col, tgt_table, tgt_col, score, rank, strategy), not the
+    internal candidates shape — consumers filter on rank."""
+    from magneto_matcher_spark.plans.matcher import MATCHES_OUT_SCHEMA, get_matches
+
+    src = spark.createDataFrame([("a", 1)], ["name", "v"])
+    tgt = spark.createDataFrame([("b", 2)], ["name", "v"])
+    empty = spark.createDataFrame([], "x string").drop("x")
+
+    out_cols = [f.name for f in MATCHES_OUT_SCHEMA.fields]
+    assert get_matches(empty, tgt).columns == out_cols
+    no_strat = get_matches(
+        src, tgt,
+        include_strsim_matches=False,
+        include_embedding_matches=False,
+        include_equal_matches=False,
+    )
+    assert no_strat.columns == out_cols and no_strat.count() == 0

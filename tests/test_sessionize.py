@@ -191,3 +191,47 @@ def test_stream_sessionize_property_random_feeds(spark, tmp_path):
             for r in emitted
         }
         assert got == expect, f"case {case} (seed {seed})"
+
+
+def test_stream_sessionize_multichunk_group(spark, tmp_path):
+    """A group whose rows span multiple Arrow chunks must still be processed
+    in global event-time order — the state fn concats all chunks before
+    sorting (chunk order is arbitrary; per-chunk sorting would make session
+    assignment nondeterministic)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = []
+        t = 0.0
+        for eid in range(1, 21):  # 20 events, sessions split every 5 events
+            rows.append((eid, T0 + datetime.timedelta(seconds=t), 1, 1.0))
+            t += 2500.0 if eid % 5 == 0 else 100.0
+        in_dir = tmp_path / "mc"
+        in_dir.mkdir()
+        emitted: list = []
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / "d1")
+        )
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(EV_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(in_dir))
+            )
+            .writeStream.foreachBatch(lambda df, _b: emitted.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted((r["session_start"], r["n_events"]) for r in emitted)
+        batch = sessionize_batch(spark.createDataFrame(rows, EV_SCHEMA)).collect()
+        tail = max(r["session_idx"] for r in batch)
+        expect = sorted(
+            (r["session_start"], r["n_events"]) for r in batch
+            if r["session_idx"] != tail
+        )
+        assert got == expect and all(n == 5 for _, n in expect)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
