@@ -25,14 +25,29 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Typed normalization mimicking the driver's comparator.
+
+    The driver fetches both sides pandas-style and compares typed values, so
+    an int64 123 and a float64 123.0 MUST hash differently (that exact
+    divergence produced 3 round-2 hash-fails that this gate's old
+    int-collapsing norm masked).  Floats keep their float rendering
+    (repr keeps the trailing .0); ints stay ints.
+    """
+    import numpy as np
+
     if v is None:
         return "\\N"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "\\N"  # NaN ≈ null after a pandas round-trip
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
+        return repr(f)
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
@@ -74,7 +89,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # pandas-style fetch = the driver's typed view of the result
+            s_rows = [tuple(r) for r in sdf.toPandas().itertuples(index=False)]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {str(ex)[:400]}")
             n_fail += 1
@@ -85,8 +101,12 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # .df() (not fetchall) so HUGEINT/epoch() land as float64 exactly
+            # as the driver sees them — fetchall()'s Python ints masked the
+            # round-2 type divergences.
+            d_pdf = res.df()
+            d_cols = list(d_pdf.columns)
+            d_rows = [tuple(r) for r in d_pdf.itertuples(index=False)]
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {type(ex).__name__}: {str(ex)[:400]}")
             n_fail += 1

@@ -1,0 +1,43 @@
+"""Driver-contract registry invariants.
+
+The driver hash-verdicts exactly the FIRST 50 entries of queries() in
+order (verified against CORRECTNESS_r01/r02), so the window composition is
+load-bearing: every slot must be oracle-backed, and consolidation queries
+must actually cover the micro-queries they displaced.
+"""
+
+from magneto_matcher_spark.queries import (
+    _DRIVER_WINDOW,
+    build_oracles,
+    build_queries,
+)
+
+
+def test_window_is_first_50_and_fully_oracle_backed():
+    queries, oracles = build_queries(), build_oracles()
+    names = list(queries)
+    assert names[:50] == _DRIVER_WINDOW
+    assert len(_DRIVER_WINDOW) == 50
+    missing = [n for n in _DRIVER_WINDOW if n not in oracles]
+    assert missing == [], f"window slots without oracle: {missing}"
+
+
+def test_every_registered_query_is_callable_and_every_oracle_has_a_query():
+    queries, oracles = build_queries(), build_oracles()
+    assert all(callable(f) for f in queries.values())
+    orphans = [n for n in oracles if n not in queries]
+    assert orphans == [], f"oracles without a query: {orphans}"
+
+
+def test_consolidations_cover_their_micro_queries():
+    queries = build_queries()
+    # each consolidated window query's constituents stay registered (tail)
+    for micro in [
+        "p2_camel_split", "p4_preprocess_string", "p6_is_binary",
+        "p7_clean_element",                     # → cleaning_all
+        "a3_distinct_ratio", "a4_numeric_frac", "a5_datetime_frac",
+        # → profile_parse_fracs
+        "serialize_header_values_default", "serialize_header_only",
+        # → serialize_all_modes
+    ]:
+        assert micro in queries, micro
