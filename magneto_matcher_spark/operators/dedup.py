@@ -51,12 +51,14 @@ def shingles_expr(text, n: int = 3):
     import re
 
     _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    _JAVA_WS = " \t\n\x0b\f\r"  # ASCII \s — NOT Unicode str.strip(), which
+    # would drop NBSP etc. and break parity with Java trim / DuckDB oracles
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = [w for w in _ws.split((t or "").strip().lower()) if w]
+            toks = [w for w in _ws.split((t or "").strip(_JAVA_WS).lower()) if w]
             if len(toks) < n:
                 out.append([])
                 continue
@@ -107,6 +109,44 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def shingle_rows(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, g) exploded word n-gram shingles — pure whole-stage codegen
+    (``split`` → ``explode(sequence)`` → ``element_at`` concat): no Python
+    worker anywhere, unlike :func:`shingles_expr` (the array-building pandas
+    UDF kept for exact-Jaccard, which needs per-doc DISTINCT shingles).
+
+    Shingles here are NOT deduped per doc: every consumer on the MinHash
+    path is set-based (``min`` hash aggregation, ``collect_set``, array
+    set-ops in the verify), so duplicates are harmless and the dedup pass
+    is skipped.  Tokenization parity with the UDF: tokens are the non-empty
+    maximal runs of non-ASCII-whitespace characters of the lowered text
+    (leading/trailing ws yields empty tokens that the filter drops, so the
+    missing explicit trim changes nothing).
+
+    If the scan is narrower than the cluster (a single small parquet file →
+    1 partition → the map side runs on one core), widen it first; at real
+    scale the input already has ≥ defaultParallelism splits and this no-ops,
+    so no full-table shuffle is ever added on the 100 TB path."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    idx = F.explode(
+        F.when(
+            F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("i")
+    g = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+    )
+    return base.select("id", "toks", idx).select("id", g.alias("g"))
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 32,
@@ -117,16 +157,14 @@ def minhash_signatures(
     """k seeded min-hashes per doc: sig[i] = min over shingles of
     xxhash64(i, shingle).
 
-    Physical shape: explode shingles → k codegen'd ``min(xxhash64(i, g))``
-    hash-aggregates → array.  (The tempting nested-transform expression —
-    ``transform(seq(0,k-1), i -> array_min(transform(sh, g -> hash(i,g))))`` —
-    drops out of whole-stage codegen into interpreted evaluation and is ~50×
-    slower per row; the explode/agg shape also gets map-side partial combine
-    at scale.)"""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
-    )
-    ex = sh.filter(F.size("sh") > 0).select("id", F.explode("sh").alias("g"))
+    Physical shape: exploded shingle rows → k codegen'd ``min(xxhash64(i,
+    g))`` hash-aggregates → array.  (The tempting nested-transform
+    expression — ``transform(seq(0,k-1), i -> array_min(transform(sh, g ->
+    hash(i,g))))`` — drops out of whole-stage codegen into interpreted
+    evaluation and is ~50× slower per row; the explode/agg shape also gets
+    map-side partial combine at scale.)  Docs with < n tokens produce no
+    shingle rows and therefore no signature."""
+    ex = shingle_rows(df, n=n, text_col=text_col, id_col=id_col)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"_h{i}") for i in range(k)
     ]
@@ -155,10 +193,34 @@ def minhash_lsh_pairs(
     that hashes thousands of docs into one bucket would make the in-bucket
     self-join quadratic — standard LSH practice; run ``exact_dedup`` first to
     fold true duplicates).  Dropping is logged in the plan via a filter on a
-    windowed count, one extra shuffle-free aggregation over the banded rows."""
+    windowed count, one extra shuffle-free aggregation over the banded rows.
+
+    The expensive leaf — tokenize + shingle + hash — is ONE fused
+    aggregation producing the signature array AND (when verifying) the
+    per-doc shingle set in the same shuffle; the cached per-doc frame then
+    feeds banding and both verify-join sides.  Round 2 evaluated the
+    shingle UDF three times (signatures + each verify side) and paid for it
+    cold (6.0 s → 9.4 s in the driver bench); this shape has no Python and
+    exactly one pass over the text."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
-    banded = sigs.select(
+    ex = shingle_rows(df, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"_h{i}") for i in range(k)
+    ]
+    if verify:
+        aggs.append(F.collect_set("g").alias("sh"))
+    per_doc = (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig"),
+            *(["sh"] if verify else []),
+        )
+    )
+    if verify:
+        per_doc = per_doc.persist()  # banding + both verify sides reuse it
+    banded = per_doc.select(
         "id",
         F.explode(
             F.transform(
@@ -196,9 +258,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
-    )
+    sh = per_doc.select("id", "sh")
     cand = (
         cand.join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
         .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
