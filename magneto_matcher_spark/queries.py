@@ -1864,8 +1864,11 @@ def r4_rerank_regroup(spark, sf_dir):
     """,
 )
 def cdc_schema_drift(spark, sf_dir):
-    """End-to-end drift: batch 2 arrives with `value` renamed to `VALUE`
-    (cleaned-name match → rename onto live schema) plus a brand-new
+    """End-to-end drift through the FULL Magneto cascade resolver: batch 2
+    arrives with `value` renamed to `val_num` — a fuzzy rename that
+    cleaned-name equality cannot catch, so ``matcher_drift_resolver`` must
+    rank `val_num`→`value` via the strsim/value-profile cascade (ref
+    magneto.py:189-272 driving schema evolution) — plus a brand-new
     `session_tag` column (→ schema add).  Final state must equal a plain
     max-LSN replay over the union with the add back-filled as NULL for
     batch-1 winners (SURVEY.md §3.4).  Batches split by LSN range (the
@@ -1874,6 +1877,7 @@ def cdc_schema_drift(spark, sf_dir):
 
     from pyspark.sql import types as T
 
+    from magneto_matcher_spark.plans.matcher import matcher_drift_resolver
     from magneto_matcher_spark.sources.lake import LakeTable
     from magneto_matcher_spark.streaming.engine import CdcEngine
 
@@ -1883,7 +1887,7 @@ def cdc_schema_drift(spark, sf_dir):
     batch1 = feed.filter(F.col("lsn") <= mid)
     batch2 = (
         feed.filter(F.col("lsn") > mid)
-        .withColumnRenamed("value", "VALUE")
+        .withColumnRenamed("value", "val_num")
         .withColumn("session_tag", F.lit("b2"))
     )
 
@@ -1899,7 +1903,9 @@ def cdc_schema_drift(spark, sf_dir):
     table = LakeTable.create(
         spark, root, schema, key=["user_id", "event_type"], n_buckets=8
     )
-    engine = CdcEngine(table, dedup_strategy="agg")
+    engine = CdcEngine(
+        table, dedup_strategy="agg", drift_resolver=matcher_drift_resolver
+    )
     engine.apply_batch(batch1, source_desc="b1")
     engine.apply_batch(batch2, source_desc="b2")
     return table.read().select(

@@ -143,21 +143,38 @@ class CdcEngine:
         source_desc: str | None = None,
         stats: tuple[int, int, int] | None = None,
     ) -> BatchMetrics:
-        """``stats``: optional precomputed (n_events, min_lsn, max_lsn) — the
-        replay driver reads them from the batch's parquet footers (zero Spark
-        jobs); the streaming path computes them with one aggregation scan."""
+        """``stats``: optional precomputed (n_events, min_lsn, max_lsn[,
+        per_file_spans]) — the replay driver reads them (including each
+        file's LSN span) from the batch's parquet footers (zero Spark jobs);
+        the streaming path computes them per input partition with one
+        aggregation scan (the groupBy(spark_partition_id) shuffles only
+        ~one partially-aggregated row per partition)."""
         t0 = time.time()
         lsn_col = self.table.lsn_col
 
+        spans: dict[str, list[int]] = {}
         if stats is not None:
-            n_events, lo, hi = stats
+            n_events, lo, hi = stats[:3]
+            if len(stats) > 3 and stats[3]:
+                spans = stats[3]
         else:
-            row = batch.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(lsn_col).alias("lo"),
-                F.max(lsn_col).alias("hi"),
-            ).collect()[0]
-            n_events, lo, hi = row["n"], row["lo"], row["hi"]
+            rows = (
+                batch.groupBy(F.spark_partition_id().alias("_pid"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(lsn_col).alias("lo"),
+                    F.max(lsn_col).alias("hi"),
+                )
+                .collect()
+            )
+            n_events = sum(r["n"] for r in rows)
+            nonnull = [r for r in rows if r["lo"] is not None]
+            lo = min((r["lo"] for r in nonnull), default=None)
+            hi = max((r["hi"] for r in nonnull), default=None)
+            spans = {
+                f"partition-{r['_pid']}": [int(r["lo"]), int(r["hi"])]
+                for r in nonnull
+            }
 
         metrics = BatchMetrics(
             events_in=n_events,
@@ -210,9 +227,16 @@ class CdcEngine:
         if hot_est is not None:
             metrics["hot_key_frac_est"] = round(hot_est, 4)
 
-        # per-partition lineage: source → lsn span per input partition
+        # per-partition lineage: source offsets plus each input file's (or
+        # scan partition's) LSN span — a restart-resumed replay must
+        # reproduce this map exactly (tested in test_engine)
         t1 = time.time()
-        lineage = {"source": source_desc or "", "start": int(lo), "end": int(hi)}
+        lineage = {
+            "source": source_desc or "",
+            "start": int(lo),
+            "end": int(hi),
+            "files": spans,
+        }
         snapshot_id = self.table.merge(
             to_merge,
             summary={
@@ -348,9 +372,10 @@ class CdcEngine:
                     F.max(lsn_col).alias("hi"),
                 ).collect()[0]
                 stats = (row["n"], row["lo"], row["hi"])
-            n, lo, hi = stats
+            n, lo, hi = stats[:3]
+            spans = stats[3] if len(stats) > 3 else {}
             if n == 0 or (hi is not None and hi <= watermark):
-                return (path, n, lo, hi, None, time.time() - t0)
+                return (path, n, lo, hi, spans, None, time.time() - t0)
             batch = normalize_payload(spark.read.parquet(path))
             strategy, _ = self._resolve_dedup_strategy(batch, n)
             winners = dedup_max_lsn(
@@ -361,13 +386,13 @@ class CdcEngine:
                 n_salts=self.n_salts,
             )
             entries = self.table.stage_delta(winners)
-            return (path, n, lo, hi, entries, time.time() - t0)
+            return (path, n, lo, hi, spans, entries, time.time() - t0)
 
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             staged = list(pool.map(stage, batch_paths))
 
         out = []
-        for path, n, lo, hi, entries, stage_s in staged:
+        for path, n, lo, hi, spans, entries, stage_s in staged:
             t0 = time.time()
             metrics = BatchMetrics(
                 events_in=n, offsets_start=lo, offsets_end=hi, source=path
@@ -392,7 +417,12 @@ class CdcEngine:
                 self._emit(metrics)
                 out.append(metrics)
                 continue
-            lineage = {"source": path, "start": int(lo), "end": int(hi)}
+            lineage = {
+                "source": path,
+                "start": int(lo),
+                "end": int(hi),
+                "files": spans,
+            }
             snapshot_id = self.table.commit_delta(
                 entries,
                 summary={
@@ -455,8 +485,13 @@ class CdcEngine:
         return query
 
 
-def _footer_stats(path: str, lsn_col: str) -> tuple[int, int, int] | None:
-    """(n_rows, min_lsn, max_lsn) from the parquet footers of a batch dir.
+def _footer_stats(
+    path: str, lsn_col: str
+) -> tuple[int, int, int, dict[str, list[int]]] | None:
+    """(n_rows, min_lsn, max_lsn, per_file) from the parquet footers of a
+    batch dir, where per_file maps each file's basename to its [lo, hi] LSN
+    span — the per-partition lineage recorded in every snapshot summary
+    (``source.lineage.files``, the BASELINE.json north-star checkbox).
     Returns None when any file lacks column statistics (falls back to a scan).
     """
     import glob as _glob
@@ -465,9 +500,10 @@ def _footer_stats(path: str, lsn_col: str) -> tuple[int, int, int] | None:
 
     files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     if not files:
-        return (0, None, None)
+        return (0, None, None, {})
     n = 0
     lo = hi = None
+    per_file: dict[str, list[int]] = {}
     for f in files:
         md = pq.ParquetFile(f).metadata
         n += md.num_rows
@@ -475,13 +511,18 @@ def _footer_stats(path: str, lsn_col: str) -> tuple[int, int, int] | None:
             idx = md.schema.names.index(lsn_col)
         except ValueError:
             return None
+        f_lo = f_hi = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
                 return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-    return (n, lo, hi)
+            f_lo = st.min if f_lo is None else min(f_lo, st.min)
+            f_hi = st.max if f_hi is None else max(f_hi, st.max)
+        if f_lo is not None:
+            per_file[os.path.basename(f)] = [int(f_lo), int(f_hi)]
+            lo = f_lo if lo is None else min(lo, f_lo)
+            hi = f_hi if hi is None else max(hi, f_hi)
+    return (n, lo, hi, per_file)
 
 
 def exact_name_drift_resolver(batch: DataFrame, table: LakeTable):

@@ -199,6 +199,34 @@ def test_drift_renamed_column_is_normalized(spark, tmp_path):
     assert post.filter(F.col("tool").isNotNull()).count() == 0
 
 
+def test_matcher_resolver_fuzzy_rename(spark, tmp_path):
+    """§3.4 full-cascade drift: `tool` → `tool_nm` is NOT a cleaned-name
+    match, so only the Magneto cascade (strsim + value profile) can resolve
+    it as a rename; a genuinely new column in the same batch must still
+    land as an add."""
+    from magneto_matcher_spark.plans.matcher import matcher_drift_resolver
+
+    feed = generate_change_feed(spark, 300, n_convs=5, turns_per_conv=4)
+    table = _mk_table(spark, tmp_path)
+    engine = CdcEngine(table, drift_resolver=matcher_drift_resolver)
+    engine.apply_batch(feed.filter(F.col("lsn") < 150), source_desc="b1")
+
+    fuzzy = (
+        feed.filter(F.col("lsn") >= 150)
+        .withColumnRenamed("tool", "tool_nm")
+        .withColumn("trace_blob", F.lit("x"))
+    )
+    engine.apply_batch(fuzzy, source_desc="b2-fuzzy")
+
+    cols = set(table.column_names)
+    assert "tool_nm" not in cols, "fuzzy rename must resolve onto `tool`"
+    assert "tool" in cols
+    assert "trace_blob" in cols, "unmatched new column must become an add"
+    post = table.read().filter(F.col("lsn") >= 150)
+    assert post.count() > 0
+    assert post.filter(F.col("trace_blob").isNotNull()).count() == post.count()
+
+
 def test_metrics_sink_jsonl(spark, tmp_path, feed):
     import json
 
@@ -236,13 +264,56 @@ def test_footer_stats_match_scan(spark, tmp_path, feed):
             F.min("lsn").alias("lo"),
             F.max("lsn").alias("hi"),
         ).collect()[0]
-        assert _footer_stats(p, "lsn") == (row["n"], row["lo"], row["hi"])
+        n, lo, hi, per_file = _footer_stats(p, "lsn")
+        assert (n, lo, hi) == (row["n"], row["lo"], row["hi"])
+        # per-file spans cover the batch span and nest within it
+        assert min(s[0] for s in per_file.values()) == lo
+        assert max(s[1] for s in per_file.values()) == hi
+        assert all(lo <= s[0] <= s[1] <= hi for s in per_file.values())
     # unknown column → None (caller falls back to a scan)
     assert _footer_stats(paths[0], "nope") is None
     # empty dir → zero events
     empty = tmp_path / "empty"
     empty.mkdir()
-    assert _footer_stats(str(empty), "lsn") == (0, None, None)
+    assert _footer_stats(str(empty), "lsn") == (0, None, None, {})
+
+
+def test_replay_lineage_reproducible_after_restart(spark, tmp_path, feed):
+    """North-star: snapshot summaries record per-file lineage (source →
+    per-file LSN spans), and a restart-resumed replay over the same batch
+    dirs reproduces the identical lineage maps."""
+    import json
+
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+
+    paths = write_change_files(feed, str(tmp_path / "lin"), 3)
+
+    def lineages(table):
+        out = {}
+        for s in table.snapshots():
+            summ = s.get("summary", {})
+            if "source.lineage" in summ:
+                lin = json.loads(summ["source.lineage"])
+                out[lin["source"]] = lin
+        return out
+
+    t1 = _mk_table(spark, tmp_path, "lin_a")
+    CdcEngine(t1).replay(paths)
+    lin1 = lineages(t1)
+    assert set(lin1) == set(paths)
+    for lin in lin1.values():
+        assert lin["files"], "per-file span map must be recorded"
+        assert min(s[0] for s in lin["files"].values()) == lin["start"]
+        assert max(s[1] for s in lin["files"].values()) == lin["end"]
+
+    # restart: fresh table object + fresh engine over the same feed dirs
+    t2 = _mk_table(spark, tmp_path, "lin_b")
+    eng2 = CdcEngine(t2)
+    eng2.replay(paths[:2])
+    t2r = LakeTable.load(spark, t2.root)
+    CdcEngine(t2r).replay(paths)  # resumes: first 2 skip, 3rd applies
+    lin2 = lineages(t2r)
+    assert lin2 == lin1
 
 
 def test_mor_auto_compact_bounds_deltas(spark, tmp_path, feed):
