@@ -103,7 +103,14 @@ def _bw_burn(_):
     a[:] = 1.0  # touch every page: forces real physical backing
     s = a.sum()  # untimed warm pass
     if _BW_BARRIER is not None:
-        _BW_BARRIER.wait()
+        # Bounded wait: Pool.map does not guarantee one task per worker (a
+        # respawned worker could dequeue two tasks), which would leave the
+        # barrier short of parties forever.  On timeout fall back to the
+        # unbarriered (slightly optimistic) measurement instead of hanging.
+        try:
+            _BW_BARRIER.wait(timeout=120)
+        except Exception:
+            pass
     t0 = _time.time()
     passes = 5
     for _ in range(passes):

@@ -50,14 +50,16 @@ def record_result(path: str, row: list) -> None:
         csv.writer(fh).writerow(row)
 
 
-def completed_pairs(path: str) -> set[tuple[str, str]]:
-    """Resume check: (method, pair_name) keys already recorded
-    (gdc_benchmark.py:158-165)."""
+def completed_pairs(path: str) -> set[tuple[str, str, str]]:
+    """Resume check: (benchmark, method, pair_name) keys already recorded
+    (gdc_benchmark.py:158-165).  The benchmark field is part of the key so
+    two benchmark families sharing an output CSV and pair names don't
+    wrongly skip each other's pairs on resume."""
     if not os.path.exists(path):
         return set()
     with open(path, newline="") as fh:
         reader = csv.DictReader(fh)
-        return {(r["method"], r["pair_name"]) for r in reader}
+        return {(r["benchmark"], r["method"], r["pair_name"]) for r in reader}
 
 
 def run_matcher_benchmark(
@@ -85,7 +87,7 @@ def run_matcher_benchmark(
     done = completed_pairs(out_csv)
     results = []
     for pair_name, src, tgt, gt in pairs:
-        if (method, pair_name) in done:
+        if (benchmark, method, pair_name) in done:
             continue
         t0 = time.time()
         matches = get_matches(src, tgt, topk=topk, **matcher_overrides)
@@ -110,3 +112,117 @@ def run_matcher_benchmark(
         results.append(rec)
         _ = n_matches
     return results
+
+
+# --------------------------------------------------------------------------
+# Valentine corpus layout walk (valentine_benchmark.py:139-145, 296-315)
+# --------------------------------------------------------------------------
+
+def walk_valentine_pairs(spark, root: str, levels: int = 3):
+    """Yield (pair_name, source_df, target_df, gt_df) from a Valentine-layout
+    corpus on disk.
+
+    ``levels=1`` (reference ``run_valentine_benchmark_one_level``,
+    valentine_benchmark.py:139-145): ``ROOT/<folder>/<folder.lower()>_source
+    .csv`` + ``_target.csv`` + ``_mapping.json``.
+
+    ``levels=3`` (``run_valentine_benchmark_three_levels``,
+    valentine_benchmark.py:296-315): an extra suite directory —
+    ``ROOT/<type>/<table_folder>/<table_folder>_source.csv`` — where <type>
+    is Unionable / View-Unionable / Joinable / Semantically-Joinable;
+    ``pair_name`` is ``"<type>/<table_folder>"`` so the suite survives into
+    the results CSV.
+
+    Pairs with an empty ground truth are skipped, like the reference
+    (valentine_benchmark.py:153-154, 327-328).  Deterministic order: sorted
+    directory listings.
+    """
+    from pyspark.sql import functions as F
+
+    from magneto_matcher_spark.sources.fixtures import read_ground_truth_json
+
+    def _triple(folder: str, stem: str):
+        return (
+            os.path.join(folder, stem + "_source.csv"),
+            os.path.join(folder, stem + "_target.csv"),
+            os.path.join(folder, stem + "_mapping.json"),
+        )
+
+    def _load(pair_name: str, src_p: str, tgt_p: str, map_p: str):
+        if not (os.path.exists(src_p) and os.path.exists(tgt_p)
+                and os.path.exists(map_p)):
+            return None
+        gt = read_ground_truth_json(spark, map_p).select(
+            F.col("source_column").alias("src_col"),
+            F.col("target_column").alias("tgt_col"),
+        )
+        if gt.limit(1).count() == 0:
+            return None
+        src = spark.read.csv(src_p, header=True, inferSchema=True)
+        tgt = spark.read.csv(tgt_p, header=True, inferSchema=True)
+        return (pair_name, src, tgt, gt)
+
+    if levels == 1:
+        for folder in sorted(os.listdir(root)):
+            d = os.path.join(root, folder)
+            if not os.path.isdir(d):
+                continue
+            item = _load(folder, *_triple(d, folder.lower()))
+            if item:
+                yield item
+        return
+    for suite in sorted(os.listdir(root)):
+        sd = os.path.join(root, suite)
+        if not os.path.isdir(sd):
+            continue
+        for folder in sorted(os.listdir(sd)):
+            d = os.path.join(sd, folder)
+            if not os.path.isdir(d):
+                continue
+            item = _load(f"{suite}/{folder}", *_triple(d, folder))
+            if item:
+                yield item
+
+
+def run_valentine_benchmark(
+    spark,
+    root: str,
+    out_csv: str,
+    levels: int = 3,
+    benchmark: str = "valentine",
+    **kwargs,
+) -> list[dict]:
+    """Directory-walking wrapper over :func:`run_matcher_benchmark` for a
+    Valentine-layout corpus, plus per-suite aggregation: after the per-pair
+    rows, one ``<suite>:mean`` row per suite carries the suite's mean MRR /
+    recall / runtime (the reference reports per-dataset means from the same
+    CSV downstream).  Resume semantics are inherited (pairs already in the
+    CSV are skipped; mean rows are recomputed only over pairs run this call)."""
+    pairs = list(walk_valentine_pairs(spark, root, levels=levels))
+    results = run_matcher_benchmark(
+        spark, pairs, out_csv, benchmark=benchmark, **kwargs
+    )
+    by_suite: dict[str, list[dict]] = {}
+    for rec in results:
+        suite = rec["pair_name"].split("/")[0] if levels == 3 else benchmark
+        by_suite.setdefault(suite, []).append(rec)
+    summaries = []
+    for suite in sorted(by_suite):
+        recs = by_suite[suite]
+        mean = lambda k: round(sum(r[k] for r in recs) / len(recs), 6)  # noqa: E731
+        row = {
+            "benchmark": benchmark,
+            "pair_name": f"{suite}:mean",
+            "method": recs[0]["method"],
+            "runtime_s": mean("runtime_s"),
+            "mrr": mean("mrr"),
+            "recall_at_gt": mean("recall_at_gt"),
+            "recall_at_k": mean("recall_at_k"),
+            "n_src_cols": len(recs),  # repurposed: pair count in the suite
+            "n_tgt_cols": 0,
+            "n_gt": sum(r["n_gt"] for r in recs),
+            "topk": recs[0]["topk"],
+        }
+        record_result(out_csv, [row[h] for h in RESULT_HEADER])
+        summaries.append(row)
+    return results + summaries

@@ -249,6 +249,11 @@ def train_ivf_centroids(
         fraction=frac, seed=seed
     )
     m = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    if m.size == 0:
+        # empty corpus (or empty seeded sample): no cells to learn — callers
+        # (knn_topk_ivf) treat a zero-row centroid matrix as "no results",
+        # mirroring the empty-corpus guard on the LSH path.
+        return np.zeros((0, 0), dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     m = m / norms
@@ -290,6 +295,19 @@ def knn_topk_ivf(
     spark = queries.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, vec_col=vec_col)
+    if len(centroids) == 0:
+        # empty corpus: return an empty top-k frame with the documented
+        # schema, like knn_topk / knn_topk_lsh do.
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id, queries.schema[query_id].dataType),
+                    T.StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
+        )
     bc = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf(T.IntegerType())

@@ -95,10 +95,12 @@ def decode_media(media: DataFrame, n_features: int = 16) -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                w, h, nb, feats = _fake_decode(r["payload"], n_features)
-                rows.append((r["media_id"], r["kind"], w, h, nb, feats))
+            rows = [
+                (mid, kind, *_fake_decode(payload, n_features))
+                for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                )
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "width", "height", "n_bytes", "features"],

@@ -122,7 +122,11 @@ def read_ground_truth_json(spark: SparkSession, path: str) -> DataFrame:
     ``extract_matchings``, valentine_benchmark.py:35-42, read at :316)."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.option("multiLine", "true").json(path)
+    # explicit schema: an empty ``matches`` array would otherwise be
+    # inferred as array<string>, breaking the struct field extraction
+    raw = spark.read.option("multiLine", "true").schema(
+        "matches array<struct<source_column:string,target_column:string>>"
+    ).json(path)
     return raw.select(F.explode("matches").alias("m")).select(
         F.col("m.source_column").alias("source_column"),
         F.col("m.target_column").alias("target_column"),

@@ -83,6 +83,8 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.meta = meta
+        # manifest segments are immutable once written — cache by relpath
+        self._seg_cache: dict[str, list[dict]] = {}
 
     # ---------------- lifecycle ----------------
 
@@ -202,6 +204,29 @@ class LakeTable:
     def snapshots(self) -> list[dict]:
         return self.meta["snapshots"]
 
+    def manifest(self, snap: dict | None) -> list[dict]:
+        """Materialize a snapshot's file list from its manifest segments.
+
+        Iceberg-style indirection: each commit writes only its NEW entries as
+        an immutable ``metadata/seg-*.json`` and references the parent's
+        segments, so the serial per-commit metadata work is O(new files) —
+        not O(total files × snapshots) as with inline manifests.  Segments
+        are cached (immutable) so repeated reads cost one load each."""
+        if not snap:
+            return []
+        if "manifest" in snap:  # legacy inline manifest
+            return snap["manifest"]
+        out: list[dict] = []
+        for seg in snap.get("manifest_segs", []):
+            if seg not in self._seg_cache:
+                with open(os.path.join(self.root, seg)) as fh:
+                    self._seg_cache[seg] = json.load(fh)
+            out.extend(self._seg_cache[seg])
+        return out
+
+    def _segs_of(self, snap: dict | None) -> list[str]:
+        return list(snap.get("manifest_segs", [])) if snap else []
+
     def current_snapshot(self) -> dict | None:
         sid = self.meta["current_snapshot_id"]
         if sid is None:
@@ -246,11 +271,12 @@ class LakeTable:
         read_schema_id = (
             self.meta["current_schema_id"] if snapshot_id is None else snap["schema_id"]
         )
-        if snap is None or not snap["manifest"]:
+        entries = self.manifest(snap)
+        if not entries:
             return self.spark.createDataFrame(
                 [], self._schema_for(read_schema_id)
             )
-        return self._resolve(snap["manifest"], read_schema_id)
+        return self._resolve(entries, read_schema_id)
 
     def _resolve(
         self,
@@ -384,7 +410,7 @@ class LakeTable:
             self.meta["current_schema_id"] if snapshot_id is None else snap["schema_id"]
         )
         wanted = set(buckets)
-        manifest = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in wanted]
+        manifest = [e for e in self.manifest(snap) if e["bucket"] in wanted]
         if not manifest:
             empty = self.spark.createDataFrame([], self._schema_for(read_schema_id))
             return empty.withColumn("op", F.lit("U")) if keep_tombstones else empty
@@ -443,15 +469,26 @@ class LakeTable:
         t_write = time.time() - t0
         t0 = time.time()
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        entries = []
         pattern = os.path.join(out_dir, *[f"{c}=*" for c in part_cols], "*.parquet")
-        for path in sorted(glob.glob(pattern)):
+        paths = sorted(glob.glob(pattern))
+        # footer reads are tiny I/O ops and pyarrow releases the GIL — a
+        # thread pool keeps this driver-serial stretch off the commit path's
+        # critical section at high parallelism
+        if len(paths) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+                n_rows = list(
+                    pool.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths)
+                )
+        else:
+            n_rows = [pq.ParquetFile(p).metadata.num_rows for p in paths]
+        entries = []
+        for path, rows in zip(paths, n_rows):
             bucket = int(path.split("_bucket=")[1].split(os.sep)[0])
             file_kind = kind
             if split_tombstones_on is not None and "_tomb=1" in path:
                 file_kind = "tombstone"
-            rows = pq.ParquetFile(path).metadata.num_rows
             entries.append(
                 {
                     "path": os.path.relpath(path, self.root),
@@ -479,11 +516,30 @@ class LakeTable:
     def _commit(
         self,
         operation: str,
-        manifest: list[dict],
         summary: dict,
         schema_id: int | None = None,
+        *,
+        base_segs: list[str] | tuple = (),
+        new_entries: list[dict] | tuple = (),
     ) -> int:
+        """Single-writer commit: reuse the parent's manifest segments
+        (``base_segs``) and write ``new_entries`` (if any) as one new
+        immutable segment — O(new files) serial metadata work, which is what
+        keeps the commit path off the scaling critical path at high
+        parallelism."""
         snapshot_id = self._next_snapshot_id()
+        segs = list(base_segs)
+        if new_entries:
+            seg_rel = os.path.join(
+                "metadata", f"seg-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
+            )
+            seg_path = os.path.join(self.root, seg_rel)
+            tmp = seg_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(list(new_entries), fh)
+            os.replace(tmp, seg_path)
+            self._seg_cache[seg_rel] = list(new_entries)
+            segs.append(seg_rel)
         snap = {
             "snapshot_id": snapshot_id,
             "parent_id": self.meta["current_snapshot_id"],
@@ -493,7 +549,7 @@ class LakeTable:
                 schema_id if schema_id is not None else self.meta["current_schema_id"]
             ),
             "summary": {k: str(v) for k, v in summary.items()},
-            "manifest": manifest,
+            "manifest_segs": segs,
         }
         self.meta["snapshots"].append(snap)
         self.meta["current_snapshot_id"] = snapshot_id
@@ -507,10 +563,11 @@ class LakeTable:
         aligned = df.select(*self.column_names)
         new_entries = self._write_data_files(self._with_bucket(aligned), f"snap-{snapshot_id}")
         cur = self.current_snapshot()
-        manifest = (list(cur["manifest"]) if cur else []) + new_entries
         s = {"rows-appended": sum(e["rows"] for e in new_entries)}
         s.update(summary or {})
-        return self._commit("append", manifest, s)
+        return self._commit(
+            "append", s, base_segs=self._segs_of(cur), new_entries=new_entries
+        )
 
     def merge(
         self,
@@ -585,15 +642,16 @@ class LakeTable:
         if is_mor:
             new_entries = self._write_data_files(batch, f"delta-{snapshot_id}", kind="delta")
             cur = self.current_snapshot()
-            manifest = (list(cur["manifest"]) if cur else []) + new_entries
             s = {
                 "delta-rows-written": sum(e["rows"] for e in new_entries),
                 "rows-written": sum(e["rows"] for e in new_entries),
                 "buckets-rewritten": 0,
-                "files-kept": len(manifest) - len(new_entries),
+                "files-kept": len(self.manifest(cur)),
             }
             s.update(summary or {})
-            return self._commit("merge", manifest, s)
+            return self._commit(
+                "merge", s, base_segs=self._segs_of(cur), new_entries=new_entries
+            )
 
         if touched is None:
             touched = [
@@ -601,7 +659,7 @@ class LakeTable:
             ]
 
         cur = self.current_snapshot()
-        old_manifest = list(cur["manifest"]) if cur else []
+        old_manifest = self.manifest(cur)
         kept = [e for e in old_manifest if e["bucket"] not in set(touched)]
 
         merged = self.merged_frame(batch.drop("_bucket"), touched, op_col=op_col)
@@ -619,7 +677,10 @@ class LakeTable:
             "tombstones-written": tomb_rows,
         }
         s.update(summary or {})
-        return self._commit("merge", kept + new_entries, s)
+        # CoW rewrites the touched buckets' data, so an O(kept+new) manifest
+        # rewrite is already dominated by the data job — no segment reuse
+        # (kept entries may span many parent segments minus touched buckets)
+        return self._commit("merge", s, new_entries=kept + new_entries)
 
     def merged_frame(
         self, batch: DataFrame, touched: list[int], op_col: str = "op"
@@ -666,7 +727,7 @@ class LakeTable:
         Falls back to the resolved read when deltas are present."""
         snap = self.current_snapshot()
         wanted = set(touched)
-        manifest = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in wanted]
+        manifest = [e for e in self.manifest(snap) if e["bucket"] in wanted]
         if any(e.get("kind", "data") == "delta" for e in manifest):
             return self.read_buckets(touched, keep_tombstones=True)
         schema_id = self.meta["current_schema_id"]
@@ -707,15 +768,16 @@ class LakeTable:
     def commit_delta(self, entries: list[dict], summary: dict | None = None) -> int:
         """Attach staged delta entries to the table (single-writer commit)."""
         cur = self.current_snapshot()
-        manifest = (list(cur["manifest"]) if cur else []) + entries
         s = {
             "delta-rows-written": sum(e["rows"] for e in entries),
             "rows-written": sum(e["rows"] for e in entries),
             "buckets-rewritten": 0,
-            "files-kept": len(manifest) - len(entries),
+            "files-kept": len(self.manifest(cur)),
         }
         s.update(summary or {})
-        return self._commit("merge", manifest, s)
+        return self._commit(
+            "merge", s, base_segs=self._segs_of(cur), new_entries=entries
+        )
 
     def discard_staged(self, entries: list[dict]) -> None:
         """Remove staged delta files that will never be committed (e.g. the
@@ -750,13 +812,16 @@ class LakeTable:
         redelivery can reach below that LSN, e.g. the source's acked offset)."""
         snapshot_id = self._next_snapshot_id()
         cur = self.current_snapshot()
-        manifest = list(cur["manifest"]) if cur else []
+        manifest = self.manifest(cur)
         folded = [e for e in manifest if e.get("kind", "data") != "data"]
         has_deltas = any(e.get("kind", "data") == "delta" for e in folded)
         # tombstone-only manifests are already plain-scan fast; rewriting them
         # is only worth it when a GC horizon lets us actually drop tombstones
         if not has_deltas and not (folded and tombstone_retention_lsn is not None):
-            return self._commit("compact", manifest, {"noop": True, **(summary or {})})
+            return self._commit(
+                "compact", {"noop": True, **(summary or {})},
+                base_segs=self._segs_of(cur),
+            )
 
         winners = self._resolve(
             manifest, self.meta["current_schema_id"], keep_tombstones=True
@@ -782,7 +847,7 @@ class LakeTable:
             "tombstones-retained": sum(e["rows"] for e in tomb_entries),
         }
         s.update(summary or {})
-        return self._commit("compact", new_entries + tomb_entries, s)
+        return self._commit("compact", s, new_entries=new_entries + tomb_entries)
 
     # ---------------- schema evolution ----------------
 
@@ -821,10 +886,11 @@ class LakeTable:
         self.meta["last_field_id"] = last_id
 
         cur = self.current_snapshot()
-        manifest = list(cur["manifest"]) if cur else []
         s = {
             "schema-renames": json.dumps(renames),
             "schema-adds": json.dumps([list(a) for a in adds]),
         }
         s.update(summary or {})
-        return self._commit("evolve", manifest, s, schema_id=new_schema_id)
+        return self._commit(
+            "evolve", s, schema_id=new_schema_id, base_segs=self._segs_of(cur)
+        )

@@ -276,11 +276,12 @@ class CdcEngine:
         snap = self.table.current_snapshot()
         if not snap:
             return False
+        entries = self.table.manifest(snap)
         delta_rows = sum(
-            e["rows"] for e in snap["manifest"] if e.get("kind", "data") == "delta"
+            e["rows"] for e in entries if e.get("kind", "data") == "delta"
         )
         data_rows = sum(
-            e["rows"] for e in snap["manifest"] if e.get("kind", "data") == "data"
+            e["rows"] for e in entries if e.get("kind", "data") == "data"
         )
         if delta_rows == 0:
             return False
@@ -501,12 +502,9 @@ def _footer_stats(
     files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     if not files:
         return (0, None, None, {})
-    n = 0
-    lo = hi = None
-    per_file: dict[str, list[int]] = {}
-    for f in files:
+
+    def _one(f: str) -> tuple[int, int | None, int | None] | None:
         md = pq.ParquetFile(f).metadata
-        n += md.num_rows
         try:
             idx = md.schema.names.index(lsn_col)
         except ValueError:
@@ -518,6 +516,26 @@ def _footer_stats(
                 return None
             f_lo = st.min if f_lo is None else min(f_lo, st.min)
             f_hi = st.max if f_hi is None else max(f_hi, st.max)
+        return (md.num_rows, f_lo, f_hi)
+
+    # footer reads release the GIL — parallelize the per-file scan so the
+    # driver-serial stats stretch doesn't grow with file count per commit
+    if len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+            results = list(pool.map(_one, files))
+    else:
+        results = [_one(files[0])]
+
+    n = 0
+    lo = hi = None
+    per_file: dict[str, list[int]] = {}
+    for f, res in zip(files, results):
+        if res is None:
+            return None  # missing stats → caller falls back to a scan
+        f_rows, f_lo, f_hi = res
+        n += f_rows
         if f_lo is not None:
             per_file[os.path.basename(f)] = [int(f_lo), int(f_hi)]
             lo = f_lo if lo is None else min(lo, f_lo)

@@ -34,7 +34,7 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_start double, session_end double, "
     "n_events long, sum_value double"
 )
-_STATE_SCHEMA = "start double, last double, n long, sv double"
+_STATE_SCHEMA = "start double, last double, n long, sv double, late long"
 
 
 def sessionize_batch(
@@ -82,9 +82,9 @@ def sessionize_stream(
 
         (user_id,) = key
         if state.exists:
-            start, last, n, sv = state.get
+            start, last, n, sv, late = state.get
         else:
-            start, last, n, sv = None, None, 0, 0.0
+            start, last, n, sv, late = None, None, 0, 0.0, 0
         closed: list[tuple] = []
         # a group's rows arrive as MULTIPLE arbitrarily-ordered Arrow chunks
         # (maxRecordsPerBatch slices); sorting per chunk would make session
@@ -95,17 +95,26 @@ def sessionize_stream(
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = ts.timestamp()
+                if start is not None and t < start - gap_seconds:
+                    # a cross-batch late event beyond the gap BEFORE the open
+                    # session's start: under batch semantics it would be its
+                    # own earlier session, which the stream can no longer
+                    # emit.  Folding it in (min-pulling start backward) would
+                    # silently merge two batch sessions — drop it instead and
+                    # count it, so stream/batch divergence is bounded by
+                    # construction (the open session's stats stay correct).
+                    late += 1
+                    continue
                 if last is not None and (t - last) > gap_seconds:
                     closed.append((user_id, start, last, n, round(sv, 4)))
                     start, n, sv = None, 0, 0.0
-                # bounded cross-batch disorder folds into the open session
-                # (start/last are min/max, never moved backward by a late
-                # event); lateness beyond the gap needs an upstream watermark
+                # bounded cross-batch disorder (within the gap) folds into
+                # the open session via min/max — replay-stable
                 start = t if start is None else min(start, t)
                 last = t if last is None else max(last, t)
                 n += 1
                 sv += float(val)
-        state.update((start, last, n, sv))
+        state.update((start, last, n, sv, late))
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -338,8 +338,9 @@ def test_mor_auto_compact_bounds_deltas(spark, tmp_path, feed):
     assert got == want
     # read amplification bounded: deltas after replay < ratio * data (+1 batch)
     snap = table.current_snapshot()
-    deltas = sum(e["rows"] for e in snap["manifest"] if e.get("kind") == "delta")
-    data = sum(e["rows"] for e in snap["manifest"] if e.get("kind", "data") == "data")
+    entries = table.manifest(snap)
+    deltas = sum(e["rows"] for e in entries if e.get("kind") == "delta")
+    data = sum(e["rows"] for e in entries if e.get("kind", "data") == "data")
     assert data > 0
 
 

@@ -115,9 +115,9 @@ def test_evolve_rename_add_no_rewrite(spark, table):
         [_ev(1, "I", "c1", 0, tool="search")], CHANGE_FEED_SCHEMA
     )
     table.merge(dedup_max_lsn(b1))
-    files_before = {e["path"] for e in table.current_snapshot()["manifest"]}
+    files_before = {e["path"] for e in table.manifest(table.current_snapshot())}
     table.evolve(renames={"tool": "tool_name"}, adds=[("latency_ms", "int")])
-    files_after = {e["path"] for e in table.current_snapshot()["manifest"]}
+    files_after = {e["path"] for e in table.manifest(table.current_snapshot())}
     assert files_before == files_after  # no data rewrite
     row = table.read().collect()[0]
     assert row["tool_name"] == "search"
@@ -212,7 +212,7 @@ def test_mor_merge_semantics_match_cow(spark, table, mor_table):
 
 def test_mor_writes_deltas_not_rewrites(spark, mor_table):
     _apply_batches(mor_table, spark)
-    manifest = mor_table.current_snapshot()["manifest"]
+    manifest = mor_table.manifest(mor_table.current_snapshot())
     kinds = {e.get("kind", "data") for e in manifest}
     assert kinds == {"delta"}
     assert mor_table.summary()["buckets-rewritten"] == "0"
@@ -223,7 +223,7 @@ def test_mor_compact_folds_deltas_and_preserves_state(spark, mor_table):
     before = {(r["conv_id"], r["turn_idx"]): r["text"]
               for r in mor_table.read().collect()}
     mor_table.compact()
-    manifest = mor_table.current_snapshot()["manifest"]
+    manifest = mor_table.manifest(mor_table.current_snapshot())
     kinds = {e.get("kind", "data") for e in manifest}
     assert "delta" not in kinds  # deltas folded; tombstones retained
     after = {(r["conv_id"], r["turn_idx"]): r["text"]
@@ -239,7 +239,7 @@ def test_compact_retains_tombstones_against_stale_redelivery(spark, mor_table):
     for the same key (partially-overlapping redelivery contract)."""
     _apply_batches(mor_table, spark)  # (c1,1) deleted at lsn 5
     mor_table.compact()
-    manifest = mor_table.current_snapshot()["manifest"]
+    manifest = mor_table.manifest(mor_table.current_snapshot())
     tombs = [e for e in manifest if e.get("kind") == "tombstone"]
     assert sum(e["rows"] for e in tombs) == 1
 
@@ -260,10 +260,10 @@ def test_compact_tombstone_gc_horizon(spark, mor_table):
     _apply_batches(mor_table, spark)
     mor_table.compact()
     assert any(e.get("kind") == "tombstone"
-               for e in mor_table.current_snapshot()["manifest"])
+               for e in mor_table.manifest(mor_table.current_snapshot()))
     # GC pass: horizon above the delete's lsn (5) drops the tombstone
     mor_table.compact(tombstone_retention_lsn=10)
-    manifest = mor_table.current_snapshot()["manifest"]
+    manifest = mor_table.manifest(mor_table.current_snapshot())
     assert not any(e.get("kind") == "tombstone" for e in manifest)
     assert {(r["conv_id"], r["turn_idx"]) for r in mor_table.read().collect()} == {
         ("c1", 0), ("c2", 0)
@@ -280,7 +280,7 @@ def test_mor_read_prunes_clean_buckets(spark, mor_table):
     upd = spark.createDataFrame([_ev(100, "U", "conv7", 0, "upd")], CHANGE_FEED_SCHEMA)
     mor_table.merge(dedup_max_lsn(upd))
 
-    dirty = {e["bucket"] for e in mor_table.current_snapshot()["manifest"]
+    dirty = {e["bucket"] for e in mor_table.manifest(mor_table.current_snapshot())
              if e.get("kind") == "delta" and e["rows"] > 0}
     assert len(dirty) == 1
     clean = [b for b in range(4) if b not in dirty]
@@ -301,7 +301,7 @@ def test_files_per_bucket_subsplit(spark, tmp_path):
         [_ev(i, "I", f"conv{i}", i % 5) for i in range(200)], CHANGE_FEED_SCHEMA
     )
     t.merge(dedup_max_lsn(df))
-    manifest = t.current_snapshot()["manifest"]
+    manifest = t.manifest(t.current_snapshot())
     by_bucket: dict = {}
     for e in manifest:
         by_bucket.setdefault(e["bucket"], []).append(e)
@@ -338,7 +338,7 @@ def test_cow_fused_merge_plan_single_exchange(spark, table):
     )
     table.merge(b1, pre_deduped=False)
     assert any(e.get("kind") == "tombstone"
-               for e in table.current_snapshot()["manifest"])
+               for e in table.manifest(table.current_snapshot()))
 
     b2 = spark.createDataFrame(
         [_ev(4, "U", "c1", 0, "new"), _ev(5, "U", "c2", 0, "back")],

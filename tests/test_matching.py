@@ -461,7 +461,7 @@ def test_s4_sink_header_once_and_append(tmp_path):
     lines = open(path).read().strip().splitlines()
     assert lines[0] == ",".join(RESULT_HEADER)
     assert len(lines) == 3 and not lines[1].startswith("benchmark")
-    assert completed_pairs(path) == {("m", "p1"), ("m", "p2")}
+    assert completed_pairs(path) == {("b", "m", "p1"), ("b", "m", "p2")}
 
 
 def test_matcher_benchmark_runner_resume(spark, pair, tmp_path):
@@ -625,3 +625,69 @@ def test_get_matches_degenerate_paths_keep_output_schema(spark):
         include_equal_matches=False,
     )
     assert no_strat.columns == out_cols and no_strat.count() == 0
+
+
+# ---------------- Valentine directory-walk benchmark ----------------
+
+def _write_valentine_pair(d, stem, matches):
+    import json as _json
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    with open(_os.path.join(d, f"{stem}_source.csv"), "w") as fh:
+        fh.write("patient_id,age\np1,30\np2,41\np3,28\n")
+    with open(_os.path.join(d, f"{stem}_target.csv"), "w") as fh:
+        fh.write("patient_id,age_years\np1,30\np2,41\n")
+    with open(_os.path.join(d, f"{stem}_mapping.json"), "w") as fh:
+        _json.dump({"matches": matches}, fh)
+
+
+def test_valentine_three_level_walk(spark, tmp_path):
+    """Verdict #8: three-level corpus walk (valentine_benchmark.py:296-315)
+    — per-pair rows plus one per-suite mean-MRR row in the S4 CSV; empty
+    ground truths skipped; resume skips completed pairs."""
+    import csv as _csv
+
+    from magneto_matcher_spark.benchrunner import run_valentine_benchmark
+
+    root = tmp_path / "corpus"
+    gt = [
+        {"source_column": "patient_id", "target_column": "patient_id"},
+        {"source_column": "age", "target_column": "age_years"},
+    ]
+    _write_valentine_pair(str(root / "Joinable" / "pairA"), "pairA", gt)
+    _write_valentine_pair(str(root / "Unionable" / "pairB"), "pairB", gt)
+    _write_valentine_pair(str(root / "Unionable" / "pairEmpty"), "pairEmpty", [])
+
+    out_csv = str(tmp_path / "valentine.csv")
+    results = run_valentine_benchmark(spark, str(root), out_csv, levels=3)
+
+    names = [r["pair_name"] for r in results]
+    assert names == [
+        "Joinable/pairA", "Unionable/pairB", "Joinable:mean", "Unionable:mean",
+    ]
+    # both pairs match perfectly on the exact-name + cleaned-name cascade
+    for r in results:
+        assert r["mrr"] == 1.0, r
+    with open(out_csv, newline="") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert [r["pair_name"] for r in rows] == names
+    suite_rows = {r["pair_name"]: r for r in rows if r["pair_name"].endswith(":mean")}
+    assert suite_rows["Joinable:mean"]["n_src_cols"] == "1"  # pair count
+
+    # resume: nothing new to run → only (possibly) fresh mean rows, no pairs
+    again = run_valentine_benchmark(spark, str(root), out_csv, levels=3)
+    assert [r for r in again if not r["pair_name"].endswith(":mean")] == []
+
+
+def test_valentine_one_level_walk(spark, tmp_path):
+    """One-level layout (valentine_benchmark.py:139-145): folder name is
+    UPPER-ish, file stems are folder.lower()."""
+    from magneto_matcher_spark.benchrunner import walk_valentine_pairs
+
+    root = tmp_path / "flat"
+    gt = [{"source_column": "age", "target_column": "age_years"}]
+    _write_valentine_pair(str(root / "Musicians"), "musicians", gt)
+    pairs = list(walk_valentine_pairs(spark, str(root), levels=1))
+    assert [p[0] for p in pairs] == ["Musicians"]
+    assert pairs[0][3].count() == 1
