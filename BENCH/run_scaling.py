@@ -246,9 +246,19 @@ Scaling efficiency (T_N / T_4N) / 4, north-rule target >= 0.8:
 {chr(10).join(eff_lines)}
 
 What bounds each mode: MoR's per-batch work is one partial-aggregated dedup
-shuffle plus a bucketed append — both fully parallel; its residual vs 1.0 is
-the serial snapshot commit (O(metadata), constant per batch) plus
-fixed-per-job scheduling that doesn't shrink with cores.  CoW runs a fused
+shuffle plus a bucketed append — both fully parallel.  A phase-instrumented
+replay (wrapping LakeTable.merge + last_write_timings) shows the serial
+metadata work is now negligible — manifest scan + segment commit ≈ 0.03 s of
+a ≈ 4 s batch at local[32] (manifest-segment commits write only the batch's
+NEW entries; footer scans run on a thread pool) — so MoR's residual vs the
+hardware ceiling is the write/shuffle job itself: at 32 cores the bucketed
+write is a single 32-task wave whose Zipf-skewed task sizes leave cores
+idle behind stragglers.  Concurrent staging (4 batches in flight, commits
+serialized in LSN order) is what recovers most of that — and with it in
+place, sub-splitting the write (files_per_bucket=4) was re-measured and
+still does NOT help (interleaved A/B min-of-3: 18.1 s fpb=1 vs 20.3 s
+fpb=4 at local[32]); the waves are already overlapped, extra files are pure
+overhead.  CoW runs a fused
 merge (ONE max-LSN aggregation over target ∪ batch — dedup folded into the
 merge itself) plus the touched-bucket rewrite, whose task count is bounded
 by n_buckets (fixed job layout), so its high-N efficiency is structurally
