@@ -23,6 +23,11 @@ catalog plugs in unchanged:
   consumed offset ranges + per-partition lineage (exactly-once, SURVEY §2.13).
 - **time travel** — ``read(snapshot_id=...)`` reads any historical snapshot's
   manifest under its own schema mapping.
+- **maintenance** — ``compact()`` folds MoR deltas (tombstone-retaining);
+  ``expire_snapshots(keep_last=N)`` bounds the snapshot log and deletes
+  orphaned data files/manifest segments (Iceberg ``expire_snapshots``
+  analog), preserving the exactly-once watermark via
+  ``expired_offset_end``.
 
 Scale notes (100 TB): the manifest is a per-snapshot file *list* grouped by
 bucket, so MERGE planning is O(files) metadata work on the driver with zero
@@ -252,8 +257,11 @@ class LakeTable:
 
     def committed_offset_end(self) -> int:
         """Max committed 'offsets.end' across the snapshot chain — the
-        exactly-once watermark the CDC engine consults on restart."""
-        best = -1
+        exactly-once watermark the CDC engine consults on restart.
+        ``expired_offset_end`` preserves the watermark across
+        :meth:`expire_snapshots` (an expired merge snapshot may carry the
+        max; losing it would let a redelivered old batch re-apply)."""
+        best = int(self.meta.get("expired_offset_end", -1))
         for s in self.meta["snapshots"]:
             end = s["summary"].get("offsets.end")
             if end is not None:
@@ -511,7 +519,11 @@ class LakeTable:
         )
 
     def _next_snapshot_id(self) -> int:
-        return len(self.meta["snapshots"]) + 1
+        # monotonic across expire_snapshots: never re-issue an expired id
+        existing = max(
+            (s["snapshot_id"] for s in self.meta["snapshots"]), default=0
+        )
+        return max(existing, self.meta.get("last_snapshot_id", 0)) + 1
 
     def _commit(
         self,
@@ -553,6 +565,7 @@ class LakeTable:
         }
         self.meta["snapshots"].append(snap)
         self.meta["current_snapshot_id"] = snapshot_id
+        self.meta["last_snapshot_id"] = snapshot_id
         self.meta["version"] += 1
         self._write_metadata()
         return snapshot_id
@@ -848,6 +861,73 @@ class LakeTable:
         }
         s.update(summary or {})
         return self._commit("compact", s, new_entries=new_entries + tomb_entries)
+
+    # ---------------- maintenance: snapshot expiry + orphan GC ----------------
+
+    def expire_snapshots(
+        self, keep_last: int = 1, delete_orphans: bool = True
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` snapshots from the log; optionally delete data files
+        and manifest segments referenced ONLY by expired snapshots.
+
+        At 10^10-event scale the snapshot log grows by one entry per
+        micro-batch — unbounded metadata and unbounded delta/tombstone file
+        retention without expiry.  This is the bound: metadata stays
+        O(keep_last), disk stays O(live files).  Time travel to expired
+        snapshots becomes unavailable (by design); the exactly-once
+        watermark is preserved via ``expired_offset_end`` even when every
+        kept snapshot lacks an ``offsets.end`` stamp (e.g. newest commit is
+        an evolve/compact).  Single-writer, like all commits."""
+        snaps = self.meta["snapshots"]
+        keep_last = max(1, int(keep_last))
+        if len(snaps) <= keep_last:
+            return {"snapshots_removed": 0, "files_deleted": 0, "segs_deleted": 0}
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        cur_id = self.meta["current_snapshot_id"]
+        assert any(s["snapshot_id"] == cur_id for s in kept), "current must be kept"
+
+        # roll the watermark of expired merge commits into table metadata
+        best = int(self.meta.get("expired_offset_end", -1))
+        for s in expired:
+            end = s["summary"].get("offsets.end")
+            if end is not None:
+                best = max(best, int(end))
+        if best >= 0:
+            self.meta["expired_offset_end"] = best
+
+        live_files = {e["path"] for s in kept for e in self.manifest(s)}
+        live_segs = {seg for s in kept for seg in s.get("manifest_segs", [])}
+        dead_files: set[str] = set()
+        dead_segs: set[str] = set()
+        for s in expired:
+            dead_files.update(e["path"] for e in self.manifest(s))
+            dead_segs.update(s.get("manifest_segs", []))
+        dead_files -= live_files
+        dead_segs -= live_segs
+
+        n_files = n_segs = 0
+        if delete_orphans:
+            for rel in dead_files:
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                    n_files += 1
+            for rel in dead_segs:
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                    n_segs += 1
+                self._seg_cache.pop(rel, None)
+
+        self.meta["snapshots"] = kept
+        self.meta["version"] += 1
+        self._write_metadata()
+        return {
+            "snapshots_removed": len(expired),
+            "files_deleted": n_files,
+            "segs_deleted": n_segs,
+        }
 
     # ---------------- schema evolution ----------------
 

@@ -364,3 +364,88 @@ def test_cow_merge_equal_lsn_keeps_target(spark, table):
     )
     table.merge(redelivery, pre_deduped=False)
     assert [r["text"] for r in table.read().collect()] == ["orig"]
+
+
+# ---------------- snapshot expiry + orphan GC ----------------
+
+def test_expire_snapshots_bounds_metadata_and_deletes_orphans(spark, tmp_path):
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "exp"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    for lsn in range(1, 6):
+        b = spark.createDataFrame(
+            [_ev(lsn, "U", "c1", 0, f"v{lsn}")], CHANGE_FEED_SCHEMA
+        )
+        t.merge(dedup_max_lsn(b), summary={"offsets.start": lsn, "offsets.end": lsn})
+    assert len(t.snapshots()) == 5
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t.root, "data")) for f in fs
+    }
+    state_before = t.read().collect()
+    wm_before = t.committed_offset_end()
+
+    res = t.expire_snapshots(keep_last=2)
+    assert res["snapshots_removed"] == 3
+    assert len(t.snapshots()) == 2
+    # current state unchanged, time travel to kept works, to expired raises
+    assert t.read().collect() == state_before
+    kept_ids = [s["snapshot_id"] for s in t.snapshots()]
+    assert t.read(snapshot_id=kept_ids[0]).count() >= 0
+    with pytest.raises(KeyError):
+        t.read(snapshot_id=1)
+    # watermark preserved even though expired snapshots carried offsets
+    assert t.committed_offset_end() == wm_before
+    # next snapshot id stays monotonic (no reuse of expired ids)
+    b = spark.createDataFrame([_ev(9, "U", "c1", 0, "v9")], CHANGE_FEED_SCHEMA)
+    sid = t.merge(dedup_max_lsn(b), summary={"offsets.start": 9, "offsets.end": 9})
+    assert sid == 6
+    # reload survives (segments of kept snapshots intact on disk)
+    t2 = LakeTable.load(spark, t.root)
+    assert {r["text"] for r in t2.read().collect()} == {"v9"}
+
+
+def test_expire_snapshots_watermark_survives_offsetless_head(spark, tmp_path):
+    """If the newest kept snapshot has no offsets stamp (evolve), expiry of
+    the merge snapshots must not lower the exactly-once watermark."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "exp2"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    for lsn in (1, 2):
+        b = spark.createDataFrame([_ev(lsn, "U", "c1", lsn, "x")], CHANGE_FEED_SCHEMA)
+        t.merge(dedup_max_lsn(b), summary={"offsets.start": lsn, "offsets.end": lsn})
+    t.evolve(adds=[("note", "string")])
+    assert t.committed_offset_end() == 2
+    t.expire_snapshots(keep_last=1)  # keeps only the evolve snapshot
+    assert t.committed_offset_end() == 2
+    t3 = LakeTable.load(spark, t.root)
+    assert t3.committed_offset_end() == 2
+
+
+def test_expire_snapshots_orphan_files_deleted_live_files_kept(spark, tmp_path):
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "exp3"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="cow",
+    )
+    b1 = spark.createDataFrame([_ev(1, "I", "c1", 0, "a")], CHANGE_FEED_SCHEMA)
+    t.merge(dedup_max_lsn(b1))
+    # CoW rewrite: snapshot 2 replaces snapshot 1's bucket files entirely
+    b2 = spark.createDataFrame([_ev(2, "U", "c1", 0, "b")], CHANGE_FEED_SCHEMA)
+    t.merge(dedup_max_lsn(b2))
+    old_files = {e["path"] for e in t.manifest(t._snapshot_by_id(1))}
+    live_files = {e["path"] for e in t.manifest(t.current_snapshot())}
+    dead = old_files - live_files
+    assert dead, "CoW rewrite should orphan snapshot 1's files"
+    res = t.expire_snapshots(keep_last=1)
+    assert res["files_deleted"] == len(dead)
+    for rel in dead:
+        assert not os.path.exists(os.path.join(t.root, rel))
+    for rel in live_files:
+        assert os.path.exists(os.path.join(t.root, rel))
+    assert {r["text"] for r in t.read().collect()} == {"b"}
