@@ -51,6 +51,7 @@ class CdcEngine:
         auto_compact_ratio: float | None = None,
         hot_key_threshold: float = 0.05,
         auto_min_events: int = 50_000,
+        expire_keep: int | None = None,
     ):
         """``drift_resolver``: callable (batch_df, table) →
         (renames: dict incoming→table name, adds: list[(name, type_str)]).
@@ -67,6 +68,14 @@ class CdcEngine:
         'salted' when the estimated hottest key exceeds ``hot_key_threshold``
         of the batch, else 'agg'.  Batches below ``auto_min_events`` skip
         detection (the sample job would cost more than any possible skew).
+
+        ``expire_keep``: after each commit, expire all but the newest N
+        snapshots and GC their orphaned files/segments
+        (``LakeTable.expire_snapshots``) — on a 10^10-event replay the
+        snapshot log is one entry per micro-batch, so without this the
+        metadata and dead-file footprint grow without bound.  Exactly-once
+        redelivery skipping survives expiry (``expired_offset_end``).
+        None disables (keep full history / time travel).
         """
         self.table = table
         self.dedup_strategy = dedup_strategy
@@ -76,7 +85,12 @@ class CdcEngine:
         self.auto_compact_ratio = auto_compact_ratio
         self.hot_key_threshold = hot_key_threshold
         self.auto_min_events = auto_min_events
+        self.expire_keep = expire_keep
         self.metrics_log: list[BatchMetrics] = []
+
+    def _maybe_expire(self) -> None:
+        if self.expire_keep is not None:
+            self.table.expire_snapshots(keep_last=self.expire_keep)
 
     def _resolve_dedup_strategy(
         self, batch: DataFrame, n_events: int
@@ -249,6 +263,7 @@ class CdcEngine:
             n_salts=self.n_salts,
         )
         compacted = self._maybe_compact() if not cow else False
+        self._maybe_expire()
         t_merge = time.time() - t1
         dur = time.time() - t0
         summ = self.table.summary()
@@ -433,6 +448,7 @@ class CdcEngine:
                 },
             )
             compacted = self._maybe_compact()
+            self._maybe_expire()
             dur = stage_s + (time.time() - t0)
             summ = self.table.summary()
             metrics.update(

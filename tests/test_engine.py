@@ -385,3 +385,45 @@ def test_mor_concurrent_replay_matches_serial(spark, tmp_path, feed):
     c = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
          for r in cow.read().collect()}
     assert c == a
+
+
+def test_auto_expire_bounds_snapshot_log(spark, tmp_path, feed):
+    """expire_keep=N: the engine expires after every commit, so the snapshot
+    log stays bounded during replay, redelivery still skips (watermark
+    survives expiry), and the final state equals an unexpired replay."""
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+
+    schema = T.StructType([f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"])
+    paths = write_change_files(feed, str(tmp_path / "expfeed"), 5)
+
+    plain = LakeTable.create(
+        spark, str(tmp_path / "plain"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    CdcEngine(plain).replay(paths)
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bounded"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    eng = CdcEngine(t, expire_keep=2)
+    eng.replay(paths)
+    assert len(t.snapshots()) == 2
+    # redelivery of an already-expired batch still skips
+    m = eng.replay([paths[0]])
+    assert m[0]["skipped"]
+    a = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+         for r in plain.read().collect()}
+    b = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+         for r in t.read().collect()}
+    assert a == b
+    # concurrent path expires too
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "bounded2"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    CdcEngine(t2, expire_keep=1).replay(paths, concurrency=3)
+    assert len(t2.snapshots()) == 1
+    c = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+         for r in t2.read().collect()}
+    assert c == a
