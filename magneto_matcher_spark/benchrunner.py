@@ -118,7 +118,7 @@ def run_matcher_benchmark(
 # Valentine corpus layout walk (valentine_benchmark.py:139-145, 296-315)
 # --------------------------------------------------------------------------
 
-def walk_valentine_pairs(spark, root: str, levels: int = 3):
+def walk_valentine_pairs(spark, root: str, levels: int = 3, skip=frozenset()):
     """Yield (pair_name, source_df, target_df, gt_df) from a Valentine-layout
     corpus on disk.
 
@@ -136,6 +136,10 @@ def walk_valentine_pairs(spark, root: str, levels: int = 3):
     Pairs with an empty ground truth are skipped, like the reference
     (valentine_benchmark.py:153-154, 327-328).  Deterministic order: sorted
     directory listings.
+
+    ``skip``: pair_names to skip BEFORE any file read or Spark job — the
+    resume path (pairs already in the results CSV) costs O(1) per skipped
+    pair instead of two inferSchema scans + a ground-truth count job.
     """
     from pyspark.sql import functions as F
 
@@ -149,6 +153,8 @@ def walk_valentine_pairs(spark, root: str, levels: int = 3):
         )
 
     def _load(pair_name: str, src_p: str, tgt_p: str, map_p: str):
+        if pair_name in skip:
+            return None
         if not (os.path.exists(src_p) and os.path.exists(tgt_p)
                 and os.path.exists(map_p)):
             return None
@@ -193,36 +199,68 @@ def run_valentine_benchmark(
     **kwargs,
 ) -> list[dict]:
     """Directory-walking wrapper over :func:`run_matcher_benchmark` for a
-    Valentine-layout corpus, plus per-suite aggregation: after the per-pair
-    rows, one ``<suite>:mean`` row per suite carries the suite's mean MRR /
-    recall / runtime (the reference reports per-dataset means from the same
-    CSV downstream).  Resume semantics are inherited (pairs already in the
-    CSV are skipped; mean rows are recomputed only over pairs run this call)."""
-    pairs = list(walk_valentine_pairs(spark, root, levels=levels))
+    Valentine-layout corpus, plus per-suite aggregation: one ``<suite>:mean``
+    row per suite carries the suite's mean MRR / recall / runtime (the
+    reference reports per-dataset means from the same CSV downstream).
+
+    Resume-safe and idempotent: already-recorded pairs are skipped before
+    any file read or Spark job, and the mean rows are RECOMPUTED over every
+    per-pair row in the CSV on each call (stale ``:mean`` rows from earlier
+    partial runs are dropped and rewritten), so a resumed run never records
+    a partial-suite mean."""
+    method = kwargs.get("method", "magneto-spark")
+    done = completed_pairs(out_csv)
+    skip = {
+        p for (b, m, p) in done
+        if b == benchmark and m == method and not p.endswith(":mean")
+    }
+    pairs = list(walk_valentine_pairs(spark, root, levels=levels, skip=skip))
     results = run_matcher_benchmark(
         spark, pairs, out_csv, benchmark=benchmark, **kwargs
     )
-    by_suite: dict[str, list[dict]] = {}
-    for rec in results:
-        suite = rec["pair_name"].split("/")[0] if levels == 3 else benchmark
-        by_suite.setdefault(suite, []).append(rec)
+    summaries = _rewrite_suite_means(out_csv, levels)
+    return results + summaries
+
+
+def _rewrite_suite_means(out_csv: str, levels: int) -> list[dict]:
+    """Drop every ``:mean`` row and append fresh ones computed over ALL
+    per-pair rows, grouped by (benchmark, method, suite).  Rewriting the
+    (metadata-sized) CSV keeps exactly one mean row per group no matter how
+    many partial runs preceded."""
+    if not os.path.exists(out_csv):
+        return []
+    with open(out_csv, newline="") as fh:
+        rows = list(csv.DictReader(fh))
+    per_pair = [r for r in rows if not r["pair_name"].endswith(":mean")]
+    groups: dict[tuple[str, str, str], list[dict]] = {}
+    for r in per_pair:
+        suite = (
+            r["pair_name"].split("/")[0] if levels == 3 and "/" in r["pair_name"]
+            else r["benchmark"]
+        )
+        groups.setdefault((r["benchmark"], r["method"], suite), []).append(r)
     summaries = []
-    for suite in sorted(by_suite):
-        recs = by_suite[suite]
-        mean = lambda k: round(sum(r[k] for r in recs) / len(recs), 6)  # noqa: E731
-        row = {
-            "benchmark": benchmark,
+    for (bench, method, suite) in sorted(groups):
+        recs = groups[(bench, method, suite)]
+        mean = lambda k: round(sum(float(r[k]) for r in recs) / len(recs), 6)  # noqa: E731
+        summaries.append({
+            "benchmark": bench,
             "pair_name": f"{suite}:mean",
-            "method": recs[0]["method"],
+            "method": method,
             "runtime_s": mean("runtime_s"),
             "mrr": mean("mrr"),
             "recall_at_gt": mean("recall_at_gt"),
             "recall_at_k": mean("recall_at_k"),
             "n_src_cols": len(recs),  # repurposed: pair count in the suite
             "n_tgt_cols": 0,
-            "n_gt": sum(r["n_gt"] for r in recs),
-            "topk": recs[0]["topk"],
-        }
-        record_result(out_csv, [row[h] for h in RESULT_HEADER])
-        summaries.append(row)
-    return results + summaries
+            "n_gt": sum(int(r["n_gt"]) for r in recs),
+            "topk": int(recs[0]["topk"]),
+        })
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(RESULT_HEADER)
+        for r in per_pair:
+            w.writerow([r[h] for h in RESULT_HEADER])
+        for s in summaries:
+            w.writerow([s[h] for h in RESULT_HEADER])
+    return summaries

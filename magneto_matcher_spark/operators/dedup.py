@@ -153,6 +153,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collect_shingles: bool = False,
 ) -> DataFrame:
     """k seeded min-hashes per doc: sig[i] = min over shingles of
     xxhash64(i, shingle).
@@ -163,15 +164,26 @@ def minhash_signatures(
     hash(i,g))))`` — drops out of whole-stage codegen into interpreted
     evaluation and is ~50× slower per row; the explode/agg shape also gets
     map-side partial combine at scale.)  Docs with < n tokens produce no
-    shingle rows and therefore no signature."""
+    shingle rows and therefore no signature.
+
+    ``collect_shingles=True`` additionally returns each doc's distinct
+    shingle set (``sh`` column) from the SAME aggregation — the fused
+    single-text-pass shape the LSH verify stage relies on (no second
+    tokenize/shingle evaluation)."""
     ex = shingle_rows(df, n=n, text_col=text_col, id_col=id_col)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"_h{i}") for i in range(k)
     ]
+    if collect_shingles:
+        aggs.append(F.collect_set("g").alias("sh"))
     return (
         ex.groupBy("id")
         .agg(*aggs)
-        .select("id", F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig"))
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig"),
+            *(["sh"] if collect_shingles else []),
+        )
     )
 
 
@@ -203,23 +215,19 @@ def minhash_lsh_pairs(
     cold (6.0 s → 9.4 s in the driver bench); this shape has no Python and
     exactly one pass over the text."""
     rows_per_band = k // bands
-    ex = shingle_rows(df, n=n, text_col=text_col, id_col=id_col)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"_h{i}") for i in range(k)
-    ]
-    if verify:
-        aggs.append(F.collect_set("g").alias("sh"))
-    per_doc = (
-        ex.groupBy("id")
-        .agg(*aggs)
-        .select(
-            "id",
-            F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig"),
-            *(["sh"] if verify else []),
-        )
+    per_doc = minhash_signatures(
+        df, k=k, n=n, text_col=text_col, id_col=id_col, collect_shingles=verify
     )
     if verify:
-        per_doc = per_doc.persist()  # banding + both verify sides reuse it
+        # banding + both verify sides reuse the per-doc frame.  localCheckpoint
+        # (not persist): the materialized RDD is released by the ContextCleaner
+        # when the frame goes out of scope, so repeated calls in one session
+        # don't accumulate cached copies — CacheManager entries from persist()
+        # would live until an explicit unpersist no caller can issue on a
+        # lazily-returned result.  Trade-off: checkpointed partitions are not
+        # recomputable on executor loss (fine locally; at cluster scale use
+        # reliable checkpointing or persist+unpersist around a materializer).
+        per_doc = per_doc.localCheckpoint(eager=False)
     banded = per_doc.select(
         "id",
         F.explode(

@@ -698,17 +698,49 @@ def j4_misses(spark, sf_dir):
 # pinned as the oracle's expected profiler output
 # ===========================================================================
 
+def _ser_text_sql(mode: str, header: str = "event_type") -> str:
+    """DuckDB expression for serialize mode ``mode``'s output text — the
+    SINGLE source both the standalone per-mode oracles and the consolidated
+    ``serialize_all_modes`` oracle (the copy inside the scored driver
+    window) are built from, so the two can never drift."""
+    vals = "string_agg(v, '</s>' ORDER BY v)"
+    if mode == "header_values_default":
+        return f"'<s>' || '{header}' || '</s>' || 'categorical' || '</s>' || {vals}"
+    if mode == "header_values_verbose":
+        return (f"'<s>' || 'Column: {header}' || '</s>' || 'Type: categorical'"
+                f" || '</s>' || 'Values: ' || {vals} || '</s>'")
+    if mode == "header_values_prefix":
+        return (f"'<s>' || 'header:{header}' || '</s>' || 'datatype:categorical'"
+                " || '</s>' || 'values:' || string_agg(v, ', ' ORDER BY v)")
+    if mode in ("header_values_repeat", "header_header_values_repeat_notype"):
+        # reference's _notype repeat variant DOES include the type
+        # (column_encoder.py:133-141 — latent bug kept for parity)
+        return (f"'<s>' || repeat('{header}' || '</s>', 5) || 'categorical'"
+                f" || '</s>' || {vals}")
+    if mode == "header_only":
+        return f"'<s>' || '{header}' || '</s>'"
+    if mode == "header_values_verbose_notype":
+        return (f"'<s>' || 'Column: {header}' || '</s>' || 'Values: ' || {vals}"
+                " || '</s>' || '</s>'")
+    if mode == "header_values_columnvaluepair_notype":
+        return (f"'<s>' || 'Column: {header}' || '</s>' || 'Values: ' || "
+                f"string_agg('{header}:' || v, '</s>' ORDER BY v)"
+                " || '</s>' || '</s>'")
+    if mode == "header_values_default_notype":
+        return f"'<s>' || '{header}' || '</s>' || {vals}"
+    raise KeyError(mode)
+
+
 @q(
     "serialize_header_values_default",
-    """
+    f"""
     WITH samples AS (
       SELECT event_type AS v FROM (
         SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type) rn
         FROM events GROUP BY event_type) WHERE rn <= 5
     )
     SELECT 'event_type' AS col_name,
-           '<s>' || 'event_type' || '</s>' || 'categorical' || '</s>' ||
-           string_agg(v, '</s>' ORDER BY v) AS text
+           {_ser_text_sql("header_values_default")} AS text
     FROM samples
     """,
 )
@@ -731,15 +763,14 @@ def serialize_header_values_default(spark, sf_dir):
 
 @q(
     "serialize_header_values_verbose",
-    """
+    f"""
     WITH samples AS (
       SELECT lang AS v FROM (
         SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang) rn
         FROM documents WHERE lang IS NOT NULL GROUP BY lang) WHERE rn <= 5
     )
     SELECT 'lang' AS col_name,
-           '<s>' || 'Column: lang' || '</s>' || 'Type: categorical' || '</s>' ||
-           'Values: ' || string_agg(v, '</s>' ORDER BY v) || '</s>' AS text
+           {_ser_text_sql("header_values_verbose", header="lang")} AS text
     FROM samples
     """,
 )
@@ -1413,11 +1444,35 @@ _DIRTY_SQL = (
     "Val-7  ','n/a','UPPER','x1']) "
 )
 
+# single-source SQL fragments for the cleaning family: the standalone
+# P2/P4/P6/P7 oracles and the consolidated ``cleaning_all`` oracle (the
+# copy inside the scored driver window) are all built from these, so
+# they cannot drift.
+_P2_SPLIT_SQL = r"regexp_replace(v, '([a-z])([A-Z])', '\1 \2', 'g')"
+_P4_PRE_SQL = "lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g'))"
+_P6_BINARY_SQL = """lower(trim(v)) IN
+      ('yes','no','y','n','true','false','t','f','0','1','male','female','m',
+       'positive','negative','pos','neg','present','absent','on','off')"""
+_P7_CLEAN_SQL = r"""CASE WHEN lower(trim(v)) IN
+        ('not reported','not_reported','notreported','not applicable',
+         'not_applicable','not available','not_available','unavailable','n/a',
+         'na','n.a.','none','null','nil','nan','unknown','unk','missing',
+         'missing value','no data','nodata','no information','not specified',
+         'unspecified','not collected','not evaluated','not performed',
+         'not done','pending','undetermined','indeterminate','-','--','?','')
+      THEN NULL
+      ELSE trim(regexp_replace(
+             regexp_replace(
+               lower(regexp_replace(trim(v), '([a-z])([A-Z])', '\1 \2', 'g')),
+               '[^a-zA-Z0-9\s]', ' ', 'g'),
+             '\s+', ' ', 'g'))
+      END"""
+
 
 @q(
     "p2_camel_split",
     rf"""
-    SELECT v, regexp_replace(v, '([a-z])([A-Z])', '\1 \2', 'g') AS split
+    SELECT v, {_P2_SPLIT_SQL} AS split
     FROM (SELECT {_DIRTY_SQL} AS v)
     """,
 )
@@ -1435,7 +1490,7 @@ _DIRTY_VALUES = ["CamelCaseCol", "snake_case", "Not Reported", "yes", "No",
 @q(
     "p4_preprocess_string",
     rf"""
-    SELECT v, lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) AS pre
+    SELECT v, {_P4_PRE_SQL} AS pre
     FROM (SELECT {_DIRTY_SQL} AS v)
     """,
 )
@@ -1449,9 +1504,7 @@ def p4_preprocess_string(spark, sf_dir):
 @q(
     "p6_is_binary",
     f"""
-    SELECT v, lower(trim(v)) IN
-      ('yes','no','y','n','true','false','t','f','0','1','male','female','m',
-       'positive','negative','pos','neg','present','absent','on','off')
+    SELECT v, {_P6_BINARY_SQL}
       AS is_binary
     FROM (SELECT {_DIRTY_SQL} AS v)
     """,
@@ -1467,20 +1520,7 @@ def p6_is_binary(spark, sf_dir):
     "p7_clean_element",
     rf"""
     SELECT v,
-      CASE WHEN lower(trim(v)) IN
-        ('not reported','not_reported','notreported','not applicable',
-         'not_applicable','not available','not_available','unavailable','n/a',
-         'na','n.a.','none','null','nil','nan','unknown','unk','missing',
-         'missing value','no data','nodata','no information','not specified',
-         'unspecified','not collected','not evaluated','not performed',
-         'not done','pending','undetermined','indeterminate','-','--','?','')
-      THEN NULL
-      ELSE trim(regexp_replace(
-             regexp_replace(
-               lower(regexp_replace(trim(v), '([a-z])([A-Z])', '\1 \2', 'g')),
-               '[^a-zA-Z0-9\s]', ' ', 'g'),
-             '\s+', ' ', 'g'))
-      END AS cleaned
+      {_P7_CLEAN_SQL} AS cleaned
     FROM (SELECT {_DIRTY_SQL} AS v)
     """,
 )
@@ -1678,10 +1718,8 @@ def _serialize_query(mode: str):
 q(
     "serialize_header_values_prefix",
     _SAMPLES_CTE
-    + """
-    SELECT 'event_type' AS col_name,
-           '<s>' || 'header:event_type' || '</s>' || 'datatype:categorical' ||
-           '</s>' || 'values:' || string_agg(v, ', ' ORDER BY v) AS text
+    + f"""
+    SELECT 'event_type' AS col_name, {_ser_text_sql("header_values_prefix")} AS text
     FROM samples
     """,
 )(_serialize_query("header_values_prefix"))
@@ -1689,28 +1727,24 @@ q(
 q(
     "serialize_header_values_repeat",
     _SAMPLES_CTE
-    + """
-    SELECT 'event_type' AS col_name,
-           '<s>' || repeat('event_type' || '</s>', 5) || 'categorical' ||
-           '</s>' || string_agg(v, '</s>' ORDER BY v) AS text
+    + f"""
+    SELECT 'event_type' AS col_name, {_ser_text_sql("header_values_repeat")} AS text
     FROM samples
     """,
 )(_serialize_query("header_values_repeat"))
 
 q(
     "serialize_header_only",
-    """
-    SELECT 'event_type' AS col_name, '<s>' || 'event_type' || '</s>' AS text
+    f"""
+    SELECT 'event_type' AS col_name, {_ser_text_sql("header_only")} AS text
     """,
 )(_serialize_query("header_only"))
 
 q(
     "serialize_header_values_verbose_notype",
     _SAMPLES_CTE
-    + """
-    SELECT 'event_type' AS col_name,
-           '<s>' || 'Column: event_type' || '</s>' || 'Values: ' ||
-           string_agg(v, '</s>' ORDER BY v) || '</s>' || '</s>' AS text
+    + f"""
+    SELECT 'event_type' AS col_name, {_ser_text_sql("header_values_verbose_notype")} AS text
     FROM samples
     """,
 )(_serialize_query("header_values_verbose_notype"))
@@ -1718,11 +1752,8 @@ q(
 q(
     "serialize_header_values_columnvaluepair_notype",
     _SAMPLES_CTE
-    + """
-    SELECT 'event_type' AS col_name,
-           '<s>' || 'Column: event_type' || '</s>' || 'Values: ' ||
-           string_agg('event_type:' || v, '</s>' ORDER BY v) || '</s>' ||
-           '</s>' AS text
+    + f"""
+    SELECT 'event_type' AS col_name, {_ser_text_sql("header_values_columnvaluepair_notype")} AS text
     FROM samples
     """,
 )(_serialize_query("header_values_columnvaluepair_notype"))
@@ -1737,10 +1768,8 @@ q(
 q(
     "serialize_header_values_default_notype",
     _SAMPLES_CTE
-    + """
-    SELECT 'event_type' AS col_name,
-           '<s>' || 'event_type' || '</s>' ||
-           string_agg(v, '</s>' ORDER BY v) AS text
+    + f"""
+    SELECT 'event_type' AS col_name, {_ser_text_sql("header_values_default_notype")} AS text
     FROM samples
     """,
 )(_serialize_query("header_values_default_notype"))
@@ -1925,28 +1954,13 @@ def cdc_schema_drift(spark, sf_dir):
 
 @q(
     "cleaning_all",
-    rf"""
+    f"""
     SELECT v,
-      regexp_replace(v, '([a-z])([A-Z])', '\1 \2', 'g') AS split,
-      lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) AS pre,
-      lower(trim(v)) IN
-        ('yes','no','y','n','true','false','t','f','0','1','male','female','m',
-         'positive','negative','pos','neg','present','absent','on','off')
+      {_P2_SPLIT_SQL} AS split,
+      {_P4_PRE_SQL} AS pre,
+      {_P6_BINARY_SQL}
         AS is_binary,
-      CASE WHEN lower(trim(v)) IN
-        ('not reported','not_reported','notreported','not applicable',
-         'not_applicable','not available','not_available','unavailable','n/a',
-         'na','n.a.','none','null','nil','nan','unknown','unk','missing',
-         'missing value','no data','nodata','no information','not specified',
-         'unspecified','not collected','not evaluated','not performed',
-         'not done','pending','undetermined','indeterminate','-','--','?','')
-      THEN NULL
-      ELSE trim(regexp_replace(
-             regexp_replace(
-               lower(regexp_replace(trim(v), '([a-z])([A-Z])', '\1 \2', 'g')),
-               '[^a-zA-Z0-9\s]', ' ', 'g'),
-             '\s+', ' ', 'g'))
-      END AS cleaned
+      {_P7_CLEAN_SQL} AS cleaned
     FROM (SELECT {_DIRTY_SQL} AS v)
     """,
 )
@@ -2031,53 +2045,26 @@ _SERIALIZE_ALL_MODES = [
     "header_values_default_notype",
 ]
 
-_REPEAT_TEXT_SQL = (
-    "'<s>' || repeat('event_type' || '</s>', 5) || 'categorical' || '</s>' || "
-    "string_agg(v, '</s>' ORDER BY v)"
-)
-
 _SERIALIZE_ALL_ORACLE = (
     _SAMPLES_CTE
-    + f"""
-    SELECT 'header_values_default' AS mode, 'event_type' AS col_name,
-           '<s>' || 'event_type' || '</s>' || 'categorical' || '</s>' ||
-           string_agg(v, '</s>' ORDER BY v) AS text
-    FROM samples
-    UNION ALL
-    SELECT 'header_values_verbose', 'event_type',
-           '<s>' || 'Column: event_type' || '</s>' || 'Type: categorical' ||
-           '</s>' || 'Values: ' || string_agg(v, '</s>' ORDER BY v) || '</s>'
-    FROM samples
-    UNION ALL
-    SELECT 'header_values_prefix', 'event_type',
-           '<s>' || 'header:event_type' || '</s>' || 'datatype:categorical' ||
-           '</s>' || 'values:' || string_agg(v, ', ' ORDER BY v)
-    FROM samples
-    UNION ALL
-    SELECT 'header_values_repeat', 'event_type', {_REPEAT_TEXT_SQL}
-    FROM samples
-    UNION ALL
-    SELECT 'header_only', 'event_type', '<s>' || 'event_type' || '</s>'
-    UNION ALL
-    SELECT 'header_values_verbose_notype', 'event_type',
-           '<s>' || 'Column: event_type' || '</s>' || 'Values: ' ||
-           string_agg(v, '</s>' ORDER BY v) || '</s>' || '</s>'
-    FROM samples
-    UNION ALL
-    SELECT 'header_values_columnvaluepair_notype', 'event_type',
-           '<s>' || 'Column: event_type' || '</s>' || 'Values: ' ||
-           string_agg('event_type:' || v, '</s>' ORDER BY v) || '</s>' ||
-           '</s>'
-    FROM samples
-    UNION ALL
-    SELECT 'header_header_values_repeat_notype', 'event_type',
-           {_REPEAT_TEXT_SQL}
-    FROM samples
-    UNION ALL
-    SELECT 'header_values_default_notype', 'event_type',
-           '<s>' || 'event_type' || '</s>' || string_agg(v, '</s>' ORDER BY v)
-    FROM samples
-    """
+    + "\n    UNION ALL\n".join(
+        (
+            f"SELECT '{m}' AS mode, 'event_type' AS col_name, "
+            f"{_ser_text_sql(m)} AS text"
+            + ("" if m == "header_only" else "\n    FROM samples")
+        )
+        for m in [
+            "header_values_default",
+            "header_values_verbose",
+            "header_values_prefix",
+            "header_values_repeat",
+            "header_only",
+            "header_values_verbose_notype",
+            "header_values_columnvaluepair_notype",
+            "header_header_values_repeat_notype",
+            "header_values_default_notype",
+        ]
+    )
 )
 
 

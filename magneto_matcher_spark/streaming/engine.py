@@ -172,8 +172,12 @@ class CdcEngine:
             if len(stats) > 3 and stats[3]:
                 spans = stats[3]
         else:
+            # lineage keys must be stable across a restart-resumed replay:
+            # input_file_name() is (per source file) — spark_partition_id()
+            # is not (split planning varies with maxPartitionBytes / cores).
+            # Non-file sources yield '' → one 'unpartitioned' span.
             rows = (
-                batch.groupBy(F.spark_partition_id().alias("_pid"))
+                batch.groupBy(F.input_file_name().alias("_src"))
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.min(lsn_col).alias("lo"),
@@ -185,10 +189,18 @@ class CdcEngine:
             nonnull = [r for r in rows if r["lo"] is not None]
             lo = min((r["lo"] for r in nonnull), default=None)
             hi = max((r["hi"] for r in nonnull), default=None)
-            spans = {
-                f"partition-{r['_pid']}": [int(r["lo"]), int(r["hi"])]
-                for r in nonnull
-            }
+            spans = {}
+            for r in nonnull:
+                name = (
+                    os.path.basename(r["_src"].split("?", 1)[0])
+                    if r["_src"] else "unpartitioned"
+                )
+                cur = spans.get(name)
+                spans[name] = (
+                    [int(r["lo"]), int(r["hi"])]
+                    if cur is None
+                    else [min(cur[0], int(r["lo"])), max(cur[1], int(r["hi"]))]
+                )
 
         metrics = BatchMetrics(
             events_in=n_events,

@@ -34,7 +34,7 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_start double, session_end double, "
     "n_events long, sum_value double"
 )
-_STATE_SCHEMA = "start double, last double, n long, sv double, late long"
+_STATE_SCHEMA = "start double, last double, n long, sv double"
 
 
 def sessionize_batch(
@@ -82,39 +82,58 @@ def sessionize_stream(
 
         (user_id,) = key
         if state.exists:
-            start, last, n, sv, late = state.get
+            start, last, n, sv = state.get
         else:
-            start, last, n, sv, late = None, None, 0, 0.0, 0
+            start, last, n, sv = None, None, 0, 0.0
         closed: list[tuple] = []
         # a group's rows arrive as MULTIPLE arbitrarily-ordered Arrow chunks
         # (maxRecordsPerBatch slices); sorting per chunk would make session
         # assignment chunk-order-dependent — concat first, sort ONCE.  Memory
         # is bounded by one user's events within one micro-batch.
+        #
+        # Island merge: group the batch's sorted events into gap-islands,
+        # splice the open session in as one more island, then re-merge
+        # adjacent islands within the gap.  Every island except the final
+        # one is a CLOSED session (the island after it proves the gap), so
+        # a cross-batch late cluster beyond the gap before the open session
+        # is emitted as its own session — exactly what the batch twin
+        # reports — instead of being folded in or dropped.  An event a
+        # later in-batch event bridges into the open session merges
+        # correctly because merging happens island-wise, not one event
+        # against the stale pre-batch start.  Residual stream/batch
+        # divergence is only events arriving > gap late relative to an
+        # ALREADY-EMITTED session (they become a separate session; the
+        # emitted one cannot be recalled) — bounded disorder assumption.
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            islands: list[list] = []  # [start, last, n, sv]
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = ts.timestamp()
-                if start is not None and t < start - gap_seconds:
-                    # a cross-batch late event beyond the gap BEFORE the open
-                    # session's start: under batch semantics it would be its
-                    # own earlier session, which the stream can no longer
-                    # emit.  Folding it in (min-pulling start backward) would
-                    # silently merge two batch sessions — drop it instead and
-                    # count it, so stream/batch divergence is bounded by
-                    # construction (the open session's stats stay correct).
-                    late += 1
-                    continue
-                if last is not None and (t - last) > gap_seconds:
-                    closed.append((user_id, start, last, n, round(sv, 4)))
-                    start, n, sv = None, 0, 0.0
-                # bounded cross-batch disorder (within the gap) folds into
-                # the open session via min/max — replay-stable
-                start = t if start is None else min(start, t)
-                last = t if last is None else max(last, t)
-                n += 1
-                sv += float(val)
-        state.update((start, last, n, sv, late))
+                if islands and (t - islands[-1][1]) <= gap_seconds:
+                    cur = islands[-1]
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += float(val)
+                else:
+                    islands.append([t, t, 1, float(val)])
+            if start is not None:
+                islands.append([start, last, n, sv])
+                islands.sort(key=lambda i: i[0])
+            merged: list[list] = []
+            for isl in islands:
+                if merged and (isl[0] - merged[-1][1]) <= gap_seconds:
+                    cur = merged[-1]
+                    cur[0] = min(cur[0], isl[0])
+                    cur[1] = max(cur[1], isl[1])
+                    cur[2] += isl[2]
+                    cur[3] += isl[3]
+                else:
+                    merged.append(list(isl))
+            for isl in merged[:-1]:
+                closed.append((user_id, isl[0], isl[1], isl[2], round(isl[3], 4)))
+            start, last, n, sv = merged[-1]
+        state.update((start, last, n, sv))
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -675,9 +675,16 @@ def test_valentine_three_level_walk(spark, tmp_path):
     suite_rows = {r["pair_name"]: r for r in rows if r["pair_name"].endswith(":mean")}
     assert suite_rows["Joinable:mean"]["n_src_cols"] == "1"  # pair count
 
-    # resume: nothing new to run → only (possibly) fresh mean rows, no pairs
+    # resume: nothing new to run → no pair rows; means recomputed
+    # idempotently (still exactly one mean row per suite in the CSV)
     again = run_valentine_benchmark(spark, str(root), out_csv, levels=3)
     assert [r for r in again if not r["pair_name"].endswith(":mean")] == []
+    with open(out_csv, newline="") as fh:
+        rows2 = list(_csv.DictReader(fh))
+    assert [r["pair_name"] for r in rows2 if r["pair_name"].endswith(":mean")] == [
+        "Joinable:mean", "Unionable:mean",
+    ]
+    assert {r["mrr"] for r in rows2 if r["pair_name"].endswith(":mean")} == {"1.0"}
 
 
 def test_valentine_one_level_walk(spark, tmp_path):

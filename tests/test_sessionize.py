@@ -235,3 +235,68 @@ def test_stream_sessionize_multichunk_group(spark, tmp_path):
         assert got == expect and all(n == 5 for _, n in expect)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stream_cross_batch_late_events_island_merge(spark, tmp_path):
+    """Cross-batch disorder: a later batch carrying earlier events must
+    (a) bridge a chain of pre-start events into the open session when each
+    hop is within the gap — one event alone vs the stale pre-batch start
+    would look droppable (the round-3 review scenario) — and (b) emit a
+    beyond-gap earlier island as its OWN closed session, exactly like the
+    batch twin."""
+    in_dir = tmp_path / "late_in"
+    ckpt = tmp_path / "late_ckpt"
+    in_dir.mkdir()
+    emitted: list = []
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(EV_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(in_dir))
+            )
+            .writeStream.foreachBatch(lambda df, _b: emitted.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: open session [10000, 11000] for user 7
+    drop([_ev(1, 7, 10000, 1.0), _ev(2, 7, 11000, 1.0)], "b1")
+    # batch 2: 8100→8300 chain bridges into the open session
+    # (8300 → 10000 = 1700s < 1800s gap; 8100 alone is 1900s before 10000);
+    # 100→200 is a beyond-gap earlier island → its own closed session;
+    # 20000 closes the (now-extended) open session [8100, 11000]
+    drop(
+        [_ev(3, 7, 8100, 2.0), _ev(4, 7, 8300, 2.0),
+         _ev(5, 7, 100, 5.0), _ev(6, 7, 200, 5.0),
+         _ev(7, 7, 20000, 9.0)],
+        "b2",
+    )
+    base = T0.timestamp()
+    got = {
+        (r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in emitted
+    }
+    assert got == {
+        (base + 100, base + 200): (2, 10.0),
+        (base + 8100, base + 11000): (4, 6.0),
+    }
+    # parity check: the batch twin over ALL events yields the same sessions
+    all_rows = [_ev(1, 7, 10000, 1.0), _ev(2, 7, 11000, 1.0),
+                _ev(3, 7, 8100, 2.0), _ev(4, 7, 8300, 2.0),
+                _ev(5, 7, 100, 5.0), _ev(6, 7, 200, 5.0),
+                _ev(7, 7, 20000, 9.0)]
+    batch = sessionize_batch(spark.createDataFrame(all_rows, EV_SCHEMA)).collect()
+    closed_by_batch = {
+        (r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in batch
+        if r["session_end"] != base + 20000  # drop the open tail
+    }
+    assert got == closed_by_batch
