@@ -218,33 +218,43 @@ def run_valentine_benchmark(
     results = run_matcher_benchmark(
         spark, pairs, out_csv, benchmark=benchmark, **kwargs
     )
-    summaries = _rewrite_suite_means(out_csv, levels)
+    summaries = _rewrite_suite_means(out_csv, levels, benchmark, method)
     return results + summaries
 
 
-def _rewrite_suite_means(out_csv: str, levels: int) -> list[dict]:
-    """Drop every ``:mean`` row and append fresh ones computed over ALL
-    per-pair rows, grouped by (benchmark, method, suite).  Rewriting the
-    (metadata-sized) CSV keeps exactly one mean row per group no matter how
-    many partial runs preceded."""
+def _rewrite_suite_means(
+    out_csv: str, levels: int, benchmark: str, method: str
+) -> list[dict]:
+    """Recompute THIS (benchmark, method)'s ``:mean`` rows over all of its
+    per-pair rows and rewrite the CSV with exactly one mean row per suite.
+    Other families sharing the CSV are untouched — their per-pair AND mean
+    rows pass through verbatim (``levels`` only interprets this family's
+    pair names).  The rewrite is atomic (temp file + ``os.replace``) so a
+    crash mid-write can never destroy previously recorded results."""
     if not os.path.exists(out_csv):
         return []
     with open(out_csv, newline="") as fh:
         rows = list(csv.DictReader(fh))
-    per_pair = [r for r in rows if not r["pair_name"].endswith(":mean")]
-    groups: dict[tuple[str, str, str], list[dict]] = {}
-    for r in per_pair:
+    ours = lambda r: r["benchmark"] == benchmark and r["method"] == method  # noqa: E731
+    kept = [
+        r for r in rows
+        if not (ours(r) and r["pair_name"].endswith(":mean"))
+    ]
+    groups: dict[str, list[dict]] = {}
+    for r in kept:
+        if not ours(r) or r["pair_name"].endswith(":mean"):
+            continue
         suite = (
             r["pair_name"].split("/")[0] if levels == 3 and "/" in r["pair_name"]
-            else r["benchmark"]
+            else benchmark
         )
-        groups.setdefault((r["benchmark"], r["method"], suite), []).append(r)
+        groups.setdefault(suite, []).append(r)
     summaries = []
-    for (bench, method, suite) in sorted(groups):
-        recs = groups[(bench, method, suite)]
+    for suite in sorted(groups):
+        recs = groups[suite]
         mean = lambda k: round(sum(float(r[k]) for r in recs) / len(recs), 6)  # noqa: E731
         summaries.append({
-            "benchmark": bench,
+            "benchmark": benchmark,
             "pair_name": f"{suite}:mean",
             "method": method,
             "runtime_s": mean("runtime_s"),
@@ -256,11 +266,13 @@ def _rewrite_suite_means(out_csv: str, levels: int) -> list[dict]:
             "n_gt": sum(int(r["n_gt"]) for r in recs),
             "topk": int(recs[0]["topk"]),
         })
-    with open(out_csv, "w", newline="") as fh:
+    tmp = out_csv + ".tmp"
+    with open(tmp, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(RESULT_HEADER)
-        for r in per_pair:
+        for r in kept:
             w.writerow([r[h] for h in RESULT_HEADER])
         for s in summaries:
             w.writerow([s[h] for h in RESULT_HEADER])
+    os.replace(tmp, out_csv)
     return summaries

@@ -2053,17 +2053,8 @@ _SERIALIZE_ALL_ORACLE = (
             f"{_ser_text_sql(m)} AS text"
             + ("" if m == "header_only" else "\n    FROM samples")
         )
-        for m in [
-            "header_values_default",
-            "header_values_verbose",
-            "header_values_prefix",
-            "header_values_repeat",
-            "header_only",
-            "header_values_verbose_notype",
-            "header_values_columnvaluepair_notype",
-            "header_header_values_repeat_notype",
-            "header_values_default_notype",
-        ]
+        # SAME list the Spark-side query iterates — one source, no drift
+        for m in _SERIALIZE_ALL_MODES
     )
 )
 

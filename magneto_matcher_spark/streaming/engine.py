@@ -160,9 +160,10 @@ class CdcEngine:
         """``stats``: optional precomputed (n_events, min_lsn, max_lsn[,
         per_file_spans]) — the replay driver reads them (including each
         file's LSN span) from the batch's parquet footers (zero Spark jobs);
-        the streaming path computes them per input partition with one
-        aggregation scan (the groupBy(spark_partition_id) shuffles only
-        ~one partially-aggregated row per partition)."""
+        the streaming path computes them per SOURCE FILE with one
+        aggregation scan (groupBy(input_file_name()) shuffles only ~one
+        partially-aggregated row per file — file names, unlike scan
+        partition ids, are stable across a restart-resumed replay)."""
         t0 = time.time()
         lsn_col = self.table.lsn_col
 
@@ -173,9 +174,10 @@ class CdcEngine:
                 spans = stats[3]
         else:
             # lineage keys must be stable across a restart-resumed replay:
-            # input_file_name() is (per source file) — spark_partition_id()
-            # is not (split planning varies with maxPartitionBytes / cores).
-            # Non-file sources yield '' → one 'unpartitioned' span.
+            # input_file_name() is stable per source file —
+            # spark_partition_id() is not (split planning varies with
+            # maxPartitionBytes / cores).  Non-file sources yield '' → one
+            # 'unpartitioned' span.
             rows = (
                 batch.groupBy(F.input_file_name().alias("_src"))
                 .agg(
@@ -190,11 +192,8 @@ class CdcEngine:
             lo = min((r["lo"] for r in nonnull), default=None)
             hi = max((r["hi"] for r in nonnull), default=None)
             spans = {}
-            for r in nonnull:
-                name = (
-                    os.path.basename(r["_src"].split("?", 1)[0])
-                    if r["_src"] else "unpartitioned"
-                )
+            keys = _lineage_keys([r["_src"] for r in nonnull])
+            for r, name in zip(nonnull, keys):
                 cur = spans.get(name)
                 spans[name] = (
                     [int(r["lo"]), int(r["hi"])]
@@ -512,6 +511,40 @@ class CdcEngine:
         if trigger_once:
             query.awaitTermination()
         return query
+
+
+def _lineage_keys(uris: list[str]) -> list[str]:
+    """Stable lineage labels for scanned source files.
+
+    ``input_file_name()`` returns a percent-encoded URI; the footer-stats
+    path labels by raw filesystem basename — decode so both paths record
+    the SAME key for the same file.  When two distinct files in one batch
+    share a basename (recursiveFileLookup over partition dirs like
+    ``date=A/data.parquet``), the parent directory is prefixed so their
+    LSN spans stay separate instead of being silently min/max-merged.
+    Empty URI (non-file source) → 'unpartitioned'."""
+    from urllib.parse import unquote, urlparse
+
+    def decode(u: str) -> str:
+        return unquote(urlparse(u).path) if "://" in u else unquote(u)
+
+    paths = [decode(u) if u else "" for u in uris]
+    counts: dict[str, int] = {}
+    for p in paths:
+        if p:
+            b = os.path.basename(p)
+            counts[b] = counts.get(b, 0) + 1
+    out = []
+    for p in paths:
+        if not p:
+            out.append("unpartitioned")
+            continue
+        b = os.path.basename(p)
+        if counts[b] > 1:
+            out.append(os.path.join(os.path.basename(os.path.dirname(p)), b))
+        else:
+            out.append(b)
+    return out
 
 
 def _footer_stats(

@@ -34,6 +34,11 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_start double, session_end double, "
     "n_events long, sum_value double"
 )
+# NOTE: changing _STATE_SCHEMA invalidates existing streaming checkpoints —
+# Spark's state-store schema check rejects a restart whose group-state shape
+# differs from what the checkpoint recorded.  Any change here requires a
+# fresh checkpoint directory (re-drain the source); there is no in-place
+# state migration.
 _STATE_SCHEMA = "start double, last double, n long, sv double"
 
 

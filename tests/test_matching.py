@@ -698,3 +698,41 @@ def test_valentine_one_level_walk(spark, tmp_path):
     pairs = list(walk_valentine_pairs(spark, str(root), levels=1))
     assert [p[0] for p in pairs] == ["Musicians"]
     assert pairs[0][3].count() == 1
+
+
+def test_suite_mean_rewrite_preserves_other_families(tmp_path):
+    """_rewrite_suite_means only recomputes the current (benchmark, method)
+    group; another family sharing the CSV keeps its per-pair AND mean rows
+    verbatim (review finding: the old rewrite dropped every :mean row)."""
+    from magneto_matcher_spark.benchrunner import (
+        RESULT_HEADER,
+        _rewrite_suite_means,
+        create_result_file,
+        record_result,
+    )
+
+    path = str(tmp_path / "shared.csv")
+    create_result_file(path)
+    # family A (three-level) per-pair + mean rows
+    record_result(path, ["valA", "Joinable/p1", "m", 1.0, 0.5, 0.5, 0.5, 2, 2, 2, 20])
+    record_result(path, ["valA", "Joinable:mean", "m", 1.0, 0.5, 0.5, 0.5, 1, 0, 2, 20])
+    # family B (one-level) per-pair rows
+    record_result(path, ["valB", "p2", "m", 2.0, 1.0, 1.0, 1.0, 2, 2, 2, 20])
+    record_result(path, ["valB", "p3", "m", 4.0, 0.0, 0.0, 0.0, 2, 2, 2, 20])
+
+    out = _rewrite_suite_means(path, 1, "valB", "m")
+    assert [(s["pair_name"], s["mrr"]) for s in out] == [("valB:mean", 0.5)]
+    import csv as _csv
+
+    with open(path, newline="") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert [r[h] for r in rows if r["benchmark"] == "valA" for h in ["pair_name"]] == [
+        "Joinable/p1", "Joinable:mean",
+    ]
+    means = [r for r in rows if r["pair_name"] == "valB:mean"]
+    assert len(means) == 1 and means[0]["runtime_s"] == "3.0"
+    # idempotent: second call yields identical CSV
+    before = open(path).read()
+    _rewrite_suite_means(path, 1, "valB", "m")
+    assert open(path).read() == before
+    assert RESULT_HEADER[0] == "benchmark"
