@@ -427,3 +427,41 @@ def test_auto_expire_bounds_snapshot_log(spark, tmp_path, feed):
     c = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
          for r in t2.read().collect()}
     assert c == a
+
+
+def test_spark_submit_py_files_entrypoint(tmp_path):
+    """North rule: the engine runs via ``spark-submit --py-files`` with every
+    import resolved from the shipped zip (no repo path on the workers).
+    Builds BENCH/engine.zip fresh, submits BENCH/submit_job.py in a separate
+    JVM, and checks the final throughput JSON line."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not available")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "BENCH", "make_zip.py")],
+        check=True, capture_output=True,
+    )
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", os.path.join(repo, "BENCH", "engine.zip"),
+            os.path.join(repo, "BENCH", "submit_job.py"),
+            "20000", "2", str(tmp_path / "work"),
+        ],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path),  # no repo cwd: imports must come from the zip
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, out.stdout[-2000:]
+    rec = json.loads(lines[-1])
+    assert rec["submitted_via"] == "spark-submit --py-files"
+    assert rec["events"] == 20000 and rec["events_per_sec"] > 0
