@@ -276,3 +276,52 @@ def _rewrite_suite_means(
             w.writerow([s[h] for h in RESULT_HEADER])
     os.replace(tmp, out_csv)
     return summaries
+
+
+# --------------------------------------------------------------------------
+# encoding × sampling ablation grid
+# (run_encoding_sampling_ablation_valentine.py:35-52, 94-170)
+# --------------------------------------------------------------------------
+
+def run_ablation_grid(
+    spark,
+    pairs: list[tuple],
+    out_csv: str,
+    encoding_modes=None,
+    sampling_modes=None,
+    sampling_sizes=(10, 30),
+    benchmark: str = "ablation",
+    **kwargs,
+) -> list[dict]:
+    """Grid-search ablation: run the full cascade over every pair for each
+    (encoding_mode, sampling_mode, sampling_size) cell — the reference's
+    encoding/sampling ablation (its grid: 9 encodings × 6 sampling modes ×
+    sizes [10, 30]).  Defaults reproduce that grid from the repo's own
+    mode registries.
+
+    Each cell is encoded into the method column
+    (``"<method>|<enc>|<samp>|<size>"``) so the S4 sink's resume key and
+    the per-suite mean machinery work unchanged per cell; the reference
+    instead widens the CSV header — same information, stable schema."""
+    from itertools import product
+
+    from magneto_matcher_spark.operators.sampling import MODES as SAMPLING_MODES
+    from magneto_matcher_spark.operators.serialize import ENCODING_MODES
+
+    encoding_modes = list(encoding_modes or ENCODING_MODES)
+    sampling_modes = list(sampling_modes or SAMPLING_MODES)
+    base_method = kwargs.pop("method", "magneto-spark")
+    results = []
+    for enc, samp, size in product(encoding_modes, sampling_modes, sampling_sizes):
+        results += run_matcher_benchmark(
+            spark,
+            pairs,
+            out_csv,
+            benchmark=benchmark,
+            method=f"{base_method}|{enc}|{samp}|{size}",
+            encoding_mode=enc,
+            sampling_mode=samp,
+            sampling_size=size,
+            **kwargs,
+        )
+    return results

@@ -736,3 +736,40 @@ def test_suite_mean_rewrite_preserves_other_families(tmp_path):
     _rewrite_suite_means(path, 1, "valB", "m")
     assert open(path).read() == before
     assert RESULT_HEADER[0] == "benchmark"
+
+
+def test_ablation_grid_runner(spark, pair, tmp_path):
+    """Encoding × sampling grid ablation (reference
+    run_encoding_sampling_ablation_valentine.py): one CSV row per (cell,
+    pair), cell encoded in the method column, resume skips whole cells."""
+    import csv as _csv
+
+    from magneto_matcher_spark.benchrunner import run_ablation_grid
+
+    src, tgt, gt = pair
+    out_csv = str(tmp_path / "grid.csv")
+    res = run_ablation_grid(
+        spark, [("fixture", src, tgt, gt)], out_csv,
+        encoding_modes=["header_values_default", "header_only"],
+        sampling_modes=["frequent"],
+        sampling_sizes=(5,),
+        topk=3,
+    )
+    methods = [r["method"] for r in res]
+    assert methods == [
+        "magneto-spark|header_values_default|frequent|5",
+        "magneto-spark|header_only|frequent|5",
+    ]
+    assert all(0.0 <= r["mrr"] <= 1.0 for r in res)
+    with open(out_csv, newline="") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert len(rows) == 2
+    # resume: the full grid is already recorded → nothing re-runs
+    again = run_ablation_grid(
+        spark, [("fixture", src, tgt, gt)], out_csv,
+        encoding_modes=["header_values_default", "header_only"],
+        sampling_modes=["frequent"],
+        sampling_sizes=(5,),
+        topk=3,
+    )
+    assert again == []
