@@ -302,7 +302,14 @@ def run_ablation_grid(
     Each cell is encoded into the method column
     (``"<method>|<enc>|<samp>|<size>"``) so the S4 sink's resume key and
     the per-suite mean machinery work unchanged per cell; the reference
-    instead widens the CSV header — same information, stable schema."""
+    instead widens the CSV header — same information, stable schema.
+
+    The reference's other ablations are plain parameter cells of
+    :func:`run_matcher_benchmark` (no extra runner needed): BP reranker
+    (``method="magneto-bp", use_bp_reranker=True`` — run_bp_valentine.py),
+    LLM reranker (``use_llm_reranker=True`` — gpt_matcher/
+    run_gpt_reranker_valentine.py), and strategy-order ablation
+    (``strategy_order=[...]`` — run_multistrategy_ablation_valentine.py)."""
     from itertools import product
 
     from magneto_matcher_spark.operators.sampling import MODES as SAMPLING_MODES
