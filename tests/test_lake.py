@@ -449,3 +449,45 @@ def test_expire_snapshots_orphan_files_deleted_live_files_kept(spark, tmp_path):
     for rel in live_files:
         assert os.path.exists(os.path.join(t.root, rel))
     assert {r["text"] for r in t.read().collect()} == {"b"}
+
+
+def test_expire_at_random_points_preserves_state_and_watermark(spark, tmp_path):
+    """Property (seeded cases): expiring at ARBITRARY points during a replay
+    never changes the final state, never lowers the exactly-once watermark,
+    and a redelivered earlier batch still skips."""
+    import random
+
+    from magneto_matcher_spark.sources.changefeed import (
+        generate_change_feed,
+        write_change_files,
+    )
+    from magneto_matcher_spark.streaming.engine import CdcEngine
+
+    for case, seed in enumerate([2, 13, 41]):
+        rng = random.Random(seed)
+        feed = generate_change_feed(
+            spark, 3000, n_convs=15, turns_per_conv=8, seed=seed
+        )
+        paths = write_change_files(feed, str(tmp_path / f"f{case}"), 4)
+
+        plain = LakeTable.create(
+            spark, str(tmp_path / f"plain{case}"), TABLE_SCHEMA,
+            key=TRANSCRIPT_KEY, n_buckets=4, write_mode="mor",
+        )
+        CdcEngine(plain).replay(paths)
+        want = sorted(map(tuple, plain.read().collect()))
+        wm = plain.committed_offset_end()
+
+        t = LakeTable.create(
+            spark, str(tmp_path / f"exp{case}"), TABLE_SCHEMA,
+            key=TRANSCRIPT_KEY, n_buckets=4, write_mode="mor",
+        )
+        eng = CdcEngine(t)
+        for p in paths:
+            eng.replay([p])
+            if rng.random() < 0.7:
+                t.expire_snapshots(keep_last=rng.randint(1, 3))
+        assert sorted(map(tuple, t.read().collect())) == want, f"seed={seed}"
+        assert t.committed_offset_end() == wm, f"seed={seed}"
+        m = eng.replay([rng.choice(paths)])
+        assert m[0]["skipped"], f"seed={seed}: redelivery applied after expiry"

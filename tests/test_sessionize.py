@@ -300,3 +300,94 @@ def test_stream_cross_batch_late_events_island_merge(spark, tmp_path):
         if r["session_end"] != base + 20000  # drop the open tail
     }
     assert got == closed_by_batch
+
+
+def test_stream_bounded_disorder_property(spark, tmp_path):
+    """Property (seeded cases): for random feeds where a random subset of
+    each drop-boundary's TAIL ISLAND slips into the next drop (bounded
+    disorder — every displaced event is within the gap of the still-open
+    session), the stream's closed sessions equal the batch twin's."""
+    import random
+
+    for case, seed in enumerate([7, 19, 53]):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for user in range(1, rng.randint(2, 4)):
+            t = rng.uniform(0, 400)
+            for _ in range(rng.randint(4, 10)):
+                eid += 1
+                rows.append(
+                    (eid, T0 + datetime.timedelta(seconds=t), user,
+                     round(rng.uniform(0.5, 9.0), 2))
+                )
+                t += rng.choice([60.0, 300.0, 900.0, 2000.0, 4000.0])
+        rows.sort(key=lambda r: r[1])
+        split = rng.randint(1, len(rows) - 1)
+        d1, d2 = rows[:split], rows[split:]
+        # bounded disorder: slip events from d1's per-user tail islands into
+        # d2 (each is within the gap of that user's open session, so the
+        # island merge must fold them back correctly)
+        gap = 1800.0
+        last_by_user = {}
+        for r in d1:
+            last_by_user[r[2]] = r  # d1 sorted → last wins
+        slipped = [
+            r for r in d1
+            if r is last_by_user.get(r[2]) and rng.random() < 0.5
+        ]
+        d1 = [r for r in d1 if r not in slipped]
+        d2 = slipped + d2  # arrives out of order inside the drop
+        if not d1:
+            d1, d2 = d2[:1], d2[1:]
+
+        in_dir = tmp_path / f"din{case}"
+        ckpt = tmp_path / f"dckpt{case}"
+        in_dir.mkdir()
+        emitted: list = []
+
+        def drop(batch_rows, name):
+            spark.createDataFrame(batch_rows, EV_SCHEMA).coalesce(1).write.parquet(
+                str(in_dir / name)
+            )
+            q = (
+                sessionize_stream(
+                    spark.readStream.schema(EV_SCHEMA)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(str(in_dir))
+                )
+                .writeStream.foreachBatch(
+                    lambda df, _b: emitted.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drop(d1, "d1")
+        if d2:
+            drop(d2, "d2")
+
+        got = {
+            (r["user_id"], round(r["session_start"], 3)): (
+                round(r["session_end"], 3), r["n_events"]
+            )
+            for r in emitted
+        }
+        batch = sessionize_batch(
+            spark.createDataFrame(rows, EV_SCHEMA), gap_seconds=gap
+        ).collect()
+        tail = {}
+        for r in batch:
+            cur = tail.get(r["user_id"])
+            if cur is None or r["session_idx"] > cur["session_idx"]:
+                tail[r["user_id"]] = r
+        expect = {
+            (r["user_id"], round(r["session_start"], 3)): (
+                round(r["session_end"], 3), r["n_events"]
+            )
+            for r in batch
+            if tail[r["user_id"]]["session_idx"] != r["session_idx"]
+        }
+        assert got == expect, f"seed={seed}"
