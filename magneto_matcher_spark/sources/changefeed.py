@@ -146,13 +146,26 @@ def write_change_files(
     the replay's scan parallelism at the file's row-group count (measured: a
     single straggler task dominates every batch apply).
     """
+    import os
+    import shutil
+
     bounds = feed.select(
         F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return []  # empty feed: no batches (min/max are null)
     span = (hi - lo + 1 + n_batches - 1) // n_batches
     batch_id = F.floor((F.col(lsn_col) - lo) / span).cast("int")
     sub = F.pmod(F.col(lsn_col), F.lit(files_per_batch)).cast("int")
+    # rerun support (matching the staged write's mode('overwrite')): clear
+    # prior batch dirs so a re-generation can neither crash the rename
+    # (ENOTEMPTY) nor leave stale batch_* dirs from a larger previous run
+    # that a directory-consuming replay would read as duplicate data
+    if os.path.isdir(out_dir):
+        for d in os.listdir(out_dir):
+            if d.startswith("batch_"):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     staged = f"{out_dir}/_staged"
     (
         feed.withColumn("_batch", batch_id)
@@ -161,8 +174,6 @@ def write_change_files(
         .mode("overwrite")
         .parquet(staged)
     )
-    import os
-
     paths = []
     for b in range(n_batches):
         src = f"{staged}/_batch={b}"

@@ -230,7 +230,26 @@ class LakeTable:
         return out
 
     def _segs_of(self, snap: dict | None) -> list[str]:
-        return list(snap.get("manifest_segs", [])) if snap else []
+        """Parent segments for a segment-reusing commit.  A legacy snapshot
+        (inline ``manifest`` written by the pre-segment format) is upgraded
+        write-through: its file list is materialized ONCE as a segment so a
+        reusing commit carries the existing files instead of silently
+        dropping them (data loss)."""
+        if not snap:
+            return []
+        if "manifest" in snap and not snap.get("manifest_segs"):
+            seg_rel = os.path.join(
+                "metadata", f"seg-legacy-{snap['snapshot_id']}.json"
+            )
+            seg_path = os.path.join(self.root, seg_rel)
+            if not os.path.exists(seg_path):
+                tmp = seg_path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(snap["manifest"], fh)
+                os.replace(tmp, seg_path)
+            self._seg_cache[seg_rel] = list(snap["manifest"])
+            return [seg_rel]
+        return list(snap.get("manifest_segs", []))
 
     def current_snapshot(self) -> dict | None:
         sid = self.meta["current_snapshot_id"]
@@ -440,7 +459,11 @@ class LakeTable:
         ``split_tombstones_on='op'``: ONE write job routes delete winners
         (op='D') into ``kind='tombstone'`` files and everything else into
         ``kind`` files via an extra partition dir — the CoW merge uses this
-        so tombstone retention costs zero extra Spark jobs.
+        so tombstone retention costs zero extra Spark jobs.  The price is
+        that data files carry the (constant-'U', dictionary-encoded) op
+        column readers never select — accepted deliberately: splitting into
+        two writes to drop one ~zero-entropy column would double the job
+        count on the hottest path.
 
         Parallelism: repartitioning on ``_bucket`` alone caps the write at
         ≤ n_buckets non-empty tasks (fewer after hash collisions) no matter
@@ -836,8 +859,25 @@ class LakeTable:
                 base_segs=self._segs_of(cur),
             )
 
+        # PARTIAL compaction: only buckets holding deltas (plus, when a GC
+        # horizon is set, buckets holding tombstones) are resolved and
+        # rewritten; clean buckets' files are carried by reference like the
+        # CoW merge's kept entries — maintenance cost is O(dirty buckets),
+        # not O(table), which is what keeps auto-compaction bounded inside a
+        # long ingest loop.
+        dirty = {
+            e["bucket"] for e in manifest if e.get("kind", "data") == "delta"
+        }
+        if tombstone_retention_lsn is not None:
+            dirty |= {
+                e["bucket"] for e in manifest
+                if e.get("kind", "data") == "tombstone"
+            }
+        kept = [e for e in manifest if e["bucket"] not in dirty]
+        sub = [e for e in manifest if e["bucket"] in dirty]
+
         winners = self._resolve(
-            manifest, self.meta["current_schema_id"], keep_tombstones=True
+            sub, self.meta["current_schema_id"], keep_tombstones=True
         ).persist()
         try:
             live = winners.filter(F.col("op") != F.lit("D")).select(*self.column_names)
@@ -856,11 +896,15 @@ class LakeTable:
             winners.unpersist()
         s = {
             "rows-written": sum(e["rows"] for e in new_entries),
-            "deltas-folded": len(folded),
+            "deltas-folded": len([e for e in sub if e.get("kind", "data") == "delta"]),
+            "buckets-compacted": len(dirty),
+            "files-kept": len(kept),
             "tombstones-retained": sum(e["rows"] for e in tomb_entries),
         }
         s.update(summary or {})
-        return self._commit("compact", s, new_entries=new_entries + tomb_entries)
+        return self._commit(
+            "compact", s, new_entries=kept + new_entries + tomb_entries
+        )
 
     # ---------------- maintenance: snapshot expiry + orphan GC ----------------
 
@@ -923,6 +967,21 @@ class LakeTable:
         self.meta["snapshots"] = kept
         self.meta["version"] += 1
         self._write_metadata()
+        if delete_orphans:
+            # superseded metadata versions: every commit leaves a v{n}.json
+            # behind — without this sweep the metadata dir grows O(commits),
+            # the exact footprint this method exists to bound.  The current
+            # version (just written, referenced by version-hint) is kept.
+            meta_dir = os.path.join(self.root, "metadata")
+            cur_v = self.meta["version"]
+            for fname in os.listdir(meta_dir):
+                if fname.startswith("v") and fname.endswith(".json"):
+                    try:
+                        v = int(fname[1:-5])
+                    except ValueError:
+                        continue
+                    if v < cur_v:
+                        os.remove(os.path.join(meta_dir, fname))
         return {
             "snapshots_removed": len(expired),
             "files_deleted": n_files,
@@ -947,9 +1006,18 @@ class LakeTable:
         for old in renames:
             if old not in names:
                 raise KeyError(f"rename source {old!r} not in schema")
+        # rename targets must not collide — with a surviving column, with
+        # each other, or with another rename's source-after-rename
+        post = [renames.get(f["name"], f["name"]) for f in cur_fields]
+        dupes = {n for n in post if post.count(n) > 1}
+        if dupes:
+            raise ValueError(
+                f"rename target(s) collide with existing columns: {sorted(dupes)}"
+            )
         for name, _ in adds:
-            if name in names or name in renames.values():
+            if name in post:
                 raise ValueError(f"add target {name!r} already exists")
+            post.append(name)  # adds must not collide with each other either
 
         new_fields = [
             {**f, "name": renames.get(f["name"], f["name"])} for f in cur_fields

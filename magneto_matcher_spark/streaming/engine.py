@@ -173,33 +173,7 @@ class CdcEngine:
             if len(stats) > 3 and stats[3]:
                 spans = stats[3]
         else:
-            # lineage keys must be stable across a restart-resumed replay:
-            # input_file_name() is stable per source file —
-            # spark_partition_id() is not (split planning varies with
-            # maxPartitionBytes / cores).  Non-file sources yield '' → one
-            # 'unpartitioned' span.
-            rows = (
-                batch.groupBy(F.input_file_name().alias("_src"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(lsn_col).alias("lo"),
-                    F.max(lsn_col).alias("hi"),
-                )
-                .collect()
-            )
-            n_events = sum(r["n"] for r in rows)
-            nonnull = [r for r in rows if r["lo"] is not None]
-            lo = min((r["lo"] for r in nonnull), default=None)
-            hi = max((r["hi"] for r in nonnull), default=None)
-            spans = {}
-            keys = _lineage_keys([r["_src"] for r in nonnull])
-            for r, name in zip(nonnull, keys):
-                cur = spans.get(name)
-                spans[name] = (
-                    [int(r["lo"]), int(r["hi"])]
-                    if cur is None
-                    else [min(cur[0], int(r["lo"])), max(cur[1], int(r["hi"]))]
-                )
+            n_events, lo, hi, spans = _scan_stats(batch, lsn_col)
 
         metrics = BatchMetrics(
             events_in=n_events,
@@ -212,6 +186,14 @@ class CdcEngine:
             self._emit(metrics)
             return metrics
 
+        if hi is None:
+            # rows exist but every LSN is null — a malformed feed; ordering
+            # and the exactly-once watermark are both undefined.  Fail loud
+            # instead of a TypeError deep in the comparison.
+            raise ValueError(
+                f"batch {source_desc!r} has {n_events} rows but no non-null "
+                f"'{lsn_col}' values — cannot order or watermark it"
+            )
         committed = self.table.committed_offset_end()
         if hi <= committed:
             metrics.update(
@@ -273,11 +255,15 @@ class CdcEngine:
             dedup_strategy=strategy,
             n_salts=self.n_salts,
         )
+        # the MERGE snapshot's summary, captured BEFORE compaction/expiry —
+        # afterwards the current snapshot may be the compaction's (whose
+        # rows-written describes the rewrite, not this batch) and expiry may
+        # have dropped the merge snapshot entirely
+        summ = self.table.summary(snapshot_id)
         compacted = self._maybe_compact() if not cow else False
         self._maybe_expire()
         t_merge = time.time() - t1
         dur = time.time() - t0
-        summ = self.table.summary()
         metrics.update(
             skipped=False,
             snapshot_id=snapshot_id,
@@ -392,16 +378,17 @@ class CdcEngine:
             t0 = time.time()
             stats = _footer_stats(path, lsn_col)
             if stats is None:
-                df = spark.read.parquet(path)
-                row = df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(lsn_col).alias("lo"),
-                    F.max(lsn_col).alias("hi"),
-                ).collect()[0]
-                stats = (row["n"], row["lo"], row["hi"])
+                # same helper as apply_batch's fallback, so both code paths
+                # record identical source.lineage.files for the same batch
+                stats = _scan_stats(spark.read.parquet(path), lsn_col)
             n, lo, hi = stats[:3]
             spans = stats[3] if len(stats) > 3 else {}
-            if n == 0 or (hi is not None and hi <= watermark):
+            if n > 0 and hi is None:
+                raise ValueError(
+                    f"batch {path!r} has {n} rows but no non-null "
+                    f"'{lsn_col}' values — cannot order or watermark it"
+                )
+            if n == 0 or hi <= watermark:
                 return (path, n, lo, hi, spans, None, time.time() - t0)
             batch = normalize_payload(spark.read.parquet(path))
             strategy, _ = self._resolve_dedup_strategy(batch, n)
@@ -458,10 +445,10 @@ class CdcEngine:
                     "source.lineage": json.dumps(lineage),
                 },
             )
+            summ = self.table.summary(snapshot_id)  # merge's, pre-compact/expire
             compacted = self._maybe_compact()
             self._maybe_expire()
             dur = stage_s + (time.time() - t0)
-            summ = self.table.summary()
             metrics.update(
                 skipped=False,
                 snapshot_id=snapshot_id,
@@ -511,6 +498,41 @@ class CdcEngine:
         if trigger_once:
             query.awaitTermination()
         return query
+
+
+def _scan_stats(
+    df: DataFrame, lsn_col: str
+) -> tuple[int, int | None, int | None, dict[str, list[int]]]:
+    """(n_rows, min_lsn, max_lsn, per-file spans) with ONE aggregation scan
+    keyed by ``input_file_name()`` — the stats fallback when parquet footers
+    lack statistics.  Lineage keys are stable per source file across a
+    restart-resumed replay (scan partition ids are not: split planning
+    varies with maxPartitionBytes / cores); non-file sources yield one
+    'unpartitioned' span.  Shared by apply_batch and the concurrent stager
+    so both code paths record the SAME ``source.lineage.files`` map."""
+    rows = (
+        df.groupBy(F.input_file_name().alias("_src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(lsn_col).alias("lo"),
+            F.max(lsn_col).alias("hi"),
+        )
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    nonnull = [r for r in rows if r["lo"] is not None]
+    lo = min((r["lo"] for r in nonnull), default=None)
+    hi = max((r["hi"] for r in nonnull), default=None)
+    spans: dict[str, list[int]] = {}
+    keys = _lineage_keys([r["_src"] for r in nonnull])
+    for r, name in zip(nonnull, keys):
+        cur = spans.get(name)
+        spans[name] = (
+            [int(r["lo"]), int(r["hi"])]
+            if cur is None
+            else [min(cur[0], int(r["lo"])), max(cur[1], int(r["hi"]))]
+        )
+    return n, lo, hi, spans
 
 
 def _lineage_keys(uris: list[str]) -> list[str]:

@@ -465,3 +465,64 @@ def test_spark_submit_py_files_entrypoint(tmp_path):
     rec = json.loads(lines[-1])
     assert rec["submitted_via"] == "spark-submit --py-files"
     assert rec["events"] == 20000 and rec["events_per_sec"] > 0
+
+
+def test_all_null_lsn_batch_fails_loud(spark, tmp_path):
+    """A non-empty batch whose LSN column is entirely null is malformed —
+    the engine must raise a clear ValueError, not TypeError from comparing
+    None to the watermark."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "nl"), TABLE_SCHEMA, key=TRANSCRIPT_KEY, n_buckets=4
+    )
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_FEED_SCHEMA.fields]
+    )
+    bad = spark.createDataFrame(
+        [(None, "U", "c1", 0, "user", "x", None,
+          __import__("datetime").datetime(2024, 1, 1))],
+        nullable,
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        CdcEngine(t).apply_batch(bad)
+
+
+def test_compacting_batch_metrics_report_merge_not_compaction(spark, tmp_path, feed):
+    """When auto-compaction fires inside a batch apply, the batch metrics
+    must describe the MERGE (this batch's rows), not the compaction's
+    full-rewrite numbers."""
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+
+    schema = T.StructType([f for f in CHANGE_FEED_SCHEMA.fields if f.name != "op"])
+    paths = write_change_files(feed, str(tmp_path / "cmfeed"), 3)
+    t = LakeTable.create(
+        spark, str(tmp_path / "cm"), schema, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    eng = CdcEngine(t, auto_compact_ratio=0.01, expire_keep=1)
+    metrics = eng.replay(paths)
+    compacting = [m for m in metrics if m.get("compacted")]
+    assert compacting, "expected at least one auto-compacting batch"
+    for m in compacting:
+        # merge summary: delta rows written == events surviving dedup for
+        # that batch — far below the full-table rewrite row count
+        assert 0 < m["rows_written"] <= m["events_in"], m
+
+
+def test_write_change_files_rerun_and_empty_feed(spark, tmp_path, feed):
+    """Regenerating into an existing out_dir replaces prior batch dirs (no
+    ENOTEMPTY crash, no stale dirs from a larger previous run); an empty
+    feed yields zero batches instead of a TypeError."""
+    import os
+
+    from magneto_matcher_spark.sources.changefeed import write_change_files
+
+    d = str(tmp_path / "rerun")
+    first = write_change_files(feed, d, 5)
+    assert len(first) == 5
+    second = write_change_files(feed, d, 2)  # fewer batches on rerun
+    assert len(second) == 2
+    leftover = [x for x in os.listdir(d) if x.startswith("batch_")]
+    assert sorted(leftover) == ["batch_00000", "batch_00001"]
+
+    empty = feed.filter("lsn < 0")
+    assert write_change_files(empty, str(tmp_path / "empty"), 3) == []

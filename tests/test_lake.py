@@ -491,3 +491,79 @@ def test_expire_at_random_points_preserves_state_and_watermark(spark, tmp_path):
         assert t.committed_offset_end() == wm, f"seed={seed}"
         m = eng.replay([rng.choice(paths)])
         assert m[0]["skipped"], f"seed={seed}: redelivery applied after expiry"
+
+
+def test_compact_is_partial_only_dirty_buckets(spark, tmp_path):
+    """compact() rewrites ONLY buckets holding deltas; clean buckets' files
+    are carried by reference (O(dirty) maintenance, not O(table))."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pc"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=8, write_mode="mor",
+    )
+    # seed many conversations → files across several buckets
+    seed = spark.createDataFrame(
+        [_ev(i, "I", f"c{i}", 0, f"v{i}") for i in range(1, 17)],
+        CHANGE_FEED_SCHEMA,
+    )
+    t.merge(dedup_max_lsn(seed))
+    t.compact()  # fold the seed deltas → all-data manifest
+    before = {e["path"] for e in t.manifest(t.current_snapshot())
+              if e.get("kind", "data") == "data"}
+    # one more delta touching a single conversation (→ one bucket)
+    b = spark.createDataFrame([_ev(100, "U", "c1", 0, "new")], CHANGE_FEED_SCHEMA)
+    t.merge(dedup_max_lsn(b))
+    sid = t.compact()
+    summ = t.summary(sid)
+    assert summ["buckets-compacted"] == "1"
+    assert int(summ["files-kept"]) > 0
+    after = {e["path"] for e in t.manifest(t.current_snapshot())
+             if e.get("kind", "data") == "data"}
+    # clean-bucket files are the SAME paths (reference, not rewrite)
+    assert before & after, "clean buckets should be carried by reference"
+    state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert state[("c1", 0)] == "new" and len(state) == 16
+
+
+def test_evolve_rejects_colliding_renames(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "ev"), TABLE_SCHEMA, key=TRANSCRIPT_KEY, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="collide"):
+        t.evolve(renames={"tool": "text"})  # target exists
+    with pytest.raises(ValueError, match="collide"):
+        t.evolve(renames={"tool": "x", "text": "x"})  # two sources → one target
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve(adds=[("n1", "string"), ("n1", "string")])  # dup adds
+
+
+def test_legacy_inline_manifest_parent_upgrades_without_data_loss(spark, tmp_path):
+    """A parent snapshot written by the pre-segment format (inline
+    ``manifest`` list) must be upgraded write-through on the next
+    segment-reusing commit — NOT silently dropped (which would orphan every
+    existing file and lose the table on the next expire)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "leg"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,
+        n_buckets=4, write_mode="mor",
+    )
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, "a"), _ev(2, "I", "c2", 0, "b")], CHANGE_FEED_SCHEMA
+    )
+    t.merge(dedup_max_lsn(b1))
+    # rewrite the snapshot as the legacy inline format
+    snap = t.current_snapshot()
+    snap["manifest"] = t.manifest(snap)
+    del snap["manifest_segs"]
+    t._write_metadata()
+
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.read().count() == 2  # legacy read path works
+    b2 = spark.createDataFrame([_ev(3, "I", "c3", 0, "c")], CHANGE_FEED_SCHEMA)
+    t2.merge(dedup_max_lsn(b2))  # segment-reusing MoR commit over legacy parent
+    state = {r["conv_id"]: r["text"] for r in t2.read().collect()}
+    assert state == {"c1": "a", "c2": "b", "c3": "c"}, state
+    # evolve (another seg-reusing commit) also keeps the files
+    t2.evolve(adds=[("extra", "string")])
+    assert t2.read().count() == 3
+    # and expiry does not GC the upgraded parent's files
+    t2.expire_snapshots(keep_last=1)
+    assert t2.read().count() == 3
