@@ -186,11 +186,14 @@ def clean_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """
     wanted = set(columns) if columns is not None else None
     exprs = []
+    # backtick-quoted resolution: a legal column named 'price.usd' would
+    # otherwise be parsed as struct access and fail analysis
     for field in df.schema.fields:
+        ref = F.col("`" + field.name.replace("`", "``") + "`")
         if (wanted is None or field.name in wanted) and isinstance(
             field.dataType, T.StringType
         ):
-            exprs.append(clean_element_expr(F.col(field.name)).alias(field.name))
+            exprs.append(clean_element_expr(ref).alias(field.name))
         else:
-            exprs.append(F.col(field.name))
+            exprs.append(ref)
     return df.select(*exprs)

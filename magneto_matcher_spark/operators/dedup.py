@@ -214,6 +214,12 @@ def minhash_lsh_pairs(
     shingle UDF three times (signatures + each verify side) and paid for it
     cold (6.0 s → 9.4 s in the driver bench); this shape has no Python and
     exactly one pass over the text."""
+    if bands <= 0 or k % bands != 0:
+        # k % bands != 0 would silently ignore the trailing hashes (paid-for
+        # accuracy lost); bands > k would make rows_per_band 0 → every doc
+        # in one bucket per band → all buckets over the size cap → an empty
+        # result that reads as "no near-duplicates"
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     rows_per_band = k // bands
     per_doc = minhash_signatures(
         df, k=k, n=n, text_col=text_col, id_col=id_col, collect_shingles=verify
@@ -438,13 +444,18 @@ def embedding_neardup_pairs(
                           corpus_id=id_col)
     else:
         raise ValueError(f"unknown method: {method!r}")
+    # canonicalize with least/greatest, do NOT filter id < neighbor: the
+    # directed kNN lists are asymmetric (doc 9's top-k may contain 5 while
+    # doc 5's top-k is saturated by closer neighbors and omits 9), so a
+    # one-sided filter would drop pairs discovered only from the higher id
     return (
-        nn.filter(F.col(id_col) < F.col("neighbor_id"))
+        nn.filter(F.col(id_col) != F.col("neighbor_id"))
         .filter(F.col("score") >= threshold)
         .select(
-            F.col(id_col).alias("a_id"),
-            F.col("neighbor_id").alias("b_id"),
+            F.least(F.col(id_col), F.col("neighbor_id")).alias("a_id"),
+            F.greatest(F.col(id_col), F.col("neighbor_id")).alias("b_id"),
             F.col("score").alias("cosine"),
         )
-        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.max("cosine").alias("cosine"))
     )

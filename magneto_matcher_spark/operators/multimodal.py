@@ -8,8 +8,10 @@ real and tested.  The fake "decode" derives pixel/sample statistics from the
 payload bytes so downstream operators (resize, frame sample, feature extract)
 have stable, assertable semantics.
 
-Payload format (synthesized by :func:`synthesize_media`):
-``b"FAKE" + kind(1 byte: I/A/V) + width(2) + height(2) + body`` — big-endian.
+Payload format (synthesized by :func:`synthesize_media`, parsed by
+``_fake_decode``): a 15-byte ASCII header —
+``b"FAKE" + kind(1 char: I/A/V) + width(5 chars, zero-padded decimal) +
+height(5 chars, zero-padded decimal)`` — followed by the body bytes.
 """
 
 from __future__ import annotations
@@ -42,9 +44,6 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
-
-_KIND_BYTE = {"image": b"I", "audio": b"A", "video": b"V"}
-
 
 def synthesize_media(docs: DataFrame, kind_cycle=("image", "audio", "video")) -> DataFrame:
     """Deterministic media table derived from ``documents``: payload bytes =

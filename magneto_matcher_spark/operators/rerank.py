@@ -219,6 +219,12 @@ def llm_rerank(
             parsed = parse_candidates(resp)
             if parsed:
                 break
+        if not parsed:
+            # exhausted retries: keep the ORIGINAL candidates/scores rather
+            # than silently emitting zero matches for this column — a rerank
+            # failure must degrade to no-rerank, not to data loss (the
+            # reference keeps the pre-rerank matches dict on failure too)
+            return [(src_col, tgt, float(sc), "llm", 10) for tgt, sc in cands]
         return [(src_col, tgt, float(sc), "llm", 10) for tgt, sc in parsed]
 
     from magneto_matcher_spark.schemas import CANDIDATES_SCHEMA

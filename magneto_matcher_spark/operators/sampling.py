@@ -61,10 +61,14 @@ def melt(df: DataFrame, columns: list[str] | None = None, col_field: str = "col_
     """Long-format view (col_name, value:string) of a table — the engine's
     replacement for materializing per-column value lists (SURVEY §1.4)."""
     columns = columns or df.columns
+    # backtick-quoted resolution: dotted names must not parse as struct paths
     pairs = F.array(
         *[
             F.struct(
-                F.lit(c).alias(col_field), F.col(c).cast("string").alias(value_field)
+                F.lit(c).alias(col_field),
+                F.col("`" + c.replace("`", "``") + "`")
+                .cast("string")
+                .alias(value_field),
             )
             for c in columns
         ]

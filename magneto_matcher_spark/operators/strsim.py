@@ -129,15 +129,22 @@ def strsim_candidates(
 
     src = local_df(spark, [(c,) for c in source_cols], "src_col string")
     tgt = local_df(spark, [(c,) for c in target_cols], "tgt_col string")
+    # F.replace with lit args, not an interpolated F.expr: a prefix
+    # containing a quote/backslash must not break SQL parsing (the driver
+    # twin uses Python str.replace — the two paths must accept equal inputs)
     pairs = src.crossJoin(tgt).select(
         "src_col",
         "tgt_col",
-        F.expr(f"replace(src_col, '{prefix_s}', '')").alias("_ps")
-        if prefix_s
-        else F.col("src_col").alias("_ps"),
-        F.expr(f"replace(tgt_col, '{prefix_t}', '')").alias("_pt")
-        if prefix_t
-        else F.col("tgt_col").alias("_pt"),
+        (
+            F.replace(F.col("src_col"), F.lit(prefix_s), F.lit(""))
+            if prefix_s
+            else F.col("src_col")
+        ).alias("_ps"),
+        (
+            F.replace(F.col("tgt_col"), F.lit(prefix_t), F.lit(""))
+            if prefix_t
+            else F.col("tgt_col")
+        ).alias("_pt"),
     )
     scored = pairs.select(
         "src_col",

@@ -500,7 +500,14 @@ def matcher_drift_resolver(batch: DataFrame, table) -> tuple[dict, list]:
             topk=1,
         )
         taken: set[str] = set()
-        for r in matches.filter(F.col("rank") == 1).orderBy(F.col("score").desc()).collect():
+        # (src, tgt) tie-breaks after score: equal-strategy hits all score
+        # exactly 1.0, and a score-only order would leave the greedy
+        # assignment to collection order — divergent schemas from identical
+        # input would violate the engine's determinism contract
+        ranked = matches.filter(F.col("rank") == 1).orderBy(
+            F.col("score").desc(), "src_col", "tgt_col"
+        )
+        for r in ranked.collect():
             if r["score"] >= 0.5 and r["tgt_col"] not in taken and r["src_col"] not in renames:
                 renames[r["src_col"]] = r["tgt_col"]
                 taken.add(r["tgt_col"])

@@ -210,3 +210,75 @@ def test_local_df_localtablescan_and_types(spark):
     assert "LocalTableScan" in nf._jdf.queryExecution().executedPlan().toString()
     with _pytest.raises(ValueError):
         local_df(spark, [], ["name"])
+
+
+# ---------------- round-3 operator hardening ----------------
+
+def test_dotted_column_names_survive_clean_and_melt(spark):
+    """Columns with dots (legal from CSV/JSON headers) must not be parsed as
+    struct paths by clean_df or the profiling melt."""
+    from magneto_matcher_spark.functions.cleaning import clean_df
+    from magneto_matcher_spark.operators.sampling import melt
+
+    df = spark.createDataFrame(
+        [("Not Reported", 1.0), ("ok", 2.0)], ["price.usd", "qty.n"]
+    )
+    out = clean_df(df).collect()
+    assert out[0]["price.usd"] is None and out[1]["price.usd"] == "ok"
+    m = melt(df).collect()
+    assert {r["col_name"] for r in m} == {"price.usd", "qty.n"}
+
+
+def test_minhash_bands_must_divide_k(spark):
+    import pytest as _pytest
+
+    from magneto_matcher_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, k=4, bands=8)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, k=30, bands=8)
+
+
+def test_embedding_neardup_symmetric_recovery(spark):
+    """A near-dup pair discovered only from the HIGHER id's kNN list must
+    still be emitted (canonicalized), not dropped by a one-sided filter."""
+    import numpy as np
+
+    from magneto_matcher_spark.operators.dedup import embedding_neardup_pairs
+
+    # docs 1,2,3 mutually close; doc 9 close ONLY to 3.  With k=2, doc 3's
+    # list fills with {1,2}; doc 9's list contains 3 — the pair (3,9) is
+    # discovered from the higher id side only.
+    base = np.array([1.0, 0.0, 0.0])
+    rows = [
+        (1, [1.0, 0.001, 0.0]),
+        (2, [1.0, 0.002, 0.0]),
+        (3, [1.0, 0.003, 0.0]),
+        (9, [1.0, 0.004, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.999, k=2, method="bruteforce"
+        ).collect()
+    }
+    assert (3, 9) in pairs, pairs
+    _ = base
+
+
+def test_llm_rerank_falls_back_on_unparseable_scorer(spark):
+    """Exhausted parse retries keep the ORIGINAL candidates instead of
+    silently dropping the column's matches."""
+    from magneto_matcher_spark.operators.rerank import llm_rerank
+
+    cands = spark.createDataFrame(
+        [("colA", "t1", 0.9), ("colA", "t2", 0.7)],
+        ["src_col", "tgt_col", "score"],
+    )
+    broken = lambda src, samples, cands: "not parseable at all"  # noqa: E731
+    out = {(r["src_col"], r["tgt_col"]): r["score"]
+           for r in llm_rerank(cands, scorer=broken, max_attempts=2).collect()}
+    assert out == {("colA", "t1"): 0.9, ("colA", "t2"): 0.7}
