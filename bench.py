@@ -68,12 +68,27 @@ def prepare_feed(spark, out_dir: str, n_events: int, n_batches: int):
     return warm_paths, paths
 
 
+def _count_feed_events(paths) -> int:
+    """Actual event count of a batch-dir list, from parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for p in paths:
+        for f in glob.glob(os.path.join(p, "*.parquet")):
+            n += pq.ParquetFile(f).metadata.num_rows
+    return n
+
+
 def _feed_from_env_or_generate(spark, tmp: str, n_events: int, n_batches: int):
     """SPARK_GRAFT_FEED_DIR: pre-generated shared feed (see prepare_feed) —
     byte-identical input across parallelism levels and reps, and the (untimed
     but slow) generation isn't re-paid per JVM."""
     feed_dir = os.environ.get("SPARK_GRAFT_FEED_DIR", "")
-    if feed_dir and os.path.isdir(f"{feed_dir}/feed"):
+    if feed_dir and os.path.isdir(f"{feed_dir}/feed") and os.path.isdir(
+        f"{feed_dir}/warm"
+    ):
         warm_paths = sorted(
             f"{feed_dir}/warm/{d}"
             for d in os.listdir(f"{feed_dir}/warm")
@@ -131,6 +146,11 @@ def run_cdc_replay(
             warm_paths, paths = _feed_from_env_or_generate(
                 spark, tmp, n_events, n_batches
             )
+        # events/sec must be computed from the feed ACTUALLY replayed, not
+        # the env request — a pre-generated SPARK_GRAFT_FEED_DIR built with
+        # a different event count would otherwise silently mis-scale the
+        # headline.  Footer reads, driver-side, untimed.
+        n_events = _count_feed_events(paths)
 
         # untimed warm-up: a replay big enough to drive JIT/whole-stage-codegen
         # to steady state (measured: per-batch throughput keeps rising for the
@@ -203,19 +223,19 @@ def main():
         "SPARK_GRAFT_WORKDIR",
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
     )
-    # shuffle partitioning is part of the JOB, not the cluster: both
-    # parallelism levels run the identical task graph (32 shuffle partitions,
-    # AQE coalescing identical); only the executor thread count differs —
-    # exactly how an N vs 4N executor comparison works on a real cluster
+    # shuffle partitioning is part of the JOB, not the cluster: every
+    # parallelism level runs the identical task graph (a constant 64 shuffle
+    # partitions, AQE coalescing identical); only the executor thread count
+    # differs — exactly how an N vs 4N executor comparison works on a real
+    # cluster.  NOT max(64, cpus): that would change the task graph above 64
+    # cores and break the fixed-layout invariant.
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         # 64 = 2 partitions per core at the top level (classic 2-3x guidance):
         # measured faster than 32 at BOTH 8 and 32 cores (straggler
         # tolerance), and part of the FIXED job layout across levels
-        shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(64, cpus)))
-        ),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
         extra_conf={"spark.local.dir": f"{shuffle_dir}/spark_local_{cpus}"},
     )
 
@@ -245,7 +265,11 @@ def main():
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = queries[name](spark, sf_dir)
-            df.count()
+            # noop sink, NOT count(): count() lets Catalyst prune every
+            # unreferenced select expression, so the computation being
+            # "benchmarked" (quality score, lang id, ...) would largely
+            # never execute and the timing would be a bare scan
+            df.write.format("noop").mode("overwrite").save()
             q_times[name] = round(time.time() - t0, 3)
 
     out = {

@@ -188,11 +188,20 @@ def p3_clean_column_names(spark, sf_dir):
     return df.select("name", clean_column_name_expr(F.col("name")).alias("clean_name"))
 
 
+from magneto_matcher_spark.functions.cleaning import NULL_REPRESENTATIONS
+
+# the oracle's null vocabulary is derived from the SAME list the Spark-side
+# null_normalize_expr consults — a marker in one but not the other would be
+# a latent hash mismatch on any fixture refresh
+_NULL_IN_SQL = "(" + ",".join(
+    "'" + v.replace("'", "''") + "'" for v in NULL_REPRESENTATIONS
+) + ")"
+
 @q(
     "p5_null_normalize",
-    """
+    f"""
     SELECT doc_id, CASE WHEN lower(trim(marker)) IN
-             ('not reported','unknown','n/a','none','null','missing','-','')
+             {_NULL_IN_SQL}
            THEN NULL ELSE marker END AS marker_norm
     FROM (SELECT doc_id,
                  CASE WHEN doc_id % 7 = 0 THEN 'Not Reported'
@@ -318,10 +327,10 @@ def a4_numeric_frac(spark, sf_dir):
     "w5_common_prefix",
     """
     WITH mm AS (SELECT min(source) AS lo, max(source) AS hi FROM documents)
-    SELECT substr(lo, 1, cast(list_sum(list_transform(
+    SELECT substr(lo, 1, cast(coalesce(list_sum(list_transform(
              range(1, least(length(lo), length(hi)) + 1),
              i -> CASE WHEN substr(lo, 1, cast(i AS INT)) = substr(hi, 1, cast(i AS INT))
-                  THEN 1 ELSE 0 END)) AS INT)) AS prefix
+                  THEN 1 ELSE 0 END)), 0) AS INT)) AS prefix
     FROM mm
     """,
 )
@@ -329,19 +338,27 @@ def w5_common_prefix(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mm = docs.agg(F.min("source").alias("lo"), F.max("source").alias("hi"))
     # LCP(lo, hi) length = Σ_i [lo[:i] == hi[:i]] (prefix equality is monotone)
+    # guard the zero-length case: sequence(1, 0) yields the DESCENDING
+    # [1, 0], whose i=0 term counts ''=='' as a match — lcp must be 0 when
+    # either bound is empty (DuckDB's range(1,1) is simply empty)
+    n = F.least(F.length("lo"), F.length("hi"))
     mm = mm.select(
         "lo",
         "hi",
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.least(F.length("lo"), F.length("hi"))),
-                lambda i: (
-                    F.col("lo").substr(F.lit(1), i) == F.col("hi").substr(F.lit(1), i)
-                ).cast("int"),
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: (
+                        F.col("lo").substr(F.lit(1), i)
+                        == F.col("hi").substr(F.lit(1), i)
+                    ).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
             ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("lcp"),
+        ).otherwise(F.lit(0)).alias("lcp"),
     )
     return mm.select(F.col("lo").substr(F.lit(1), F.col("lcp")).alias("prefix"))
 
@@ -982,10 +999,16 @@ def text_token_count(spark, sf_dir):
     """,
 )
 def text_quality_score(spark, sf_dir):
-    from magneto_matcher_spark.operators.textops import quality_score_expr
+    from magneto_matcher_spark.operators.textops import (
+        quality_score_expr,
+        token_count_expr,
+    )
 
+    # token_count_expr, NOT size(split(...)): split of a whitespace-only
+    # string yields [""] (size 1), so that guard never fires — the oracle's
+    # len(toks) > 0 excludes such rows and the Spark side must too
     docs = _t(spark, sf_dir, "documents").filter(
-        (F.length("text") > 0) & (F.size(F.split(F.trim("text"), r"\s+")) > 0)
+        (F.length("text") > 0) & (token_count_expr(F.col("text")) > 0)
     )
     return docs.select(
         "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("quality")
@@ -1227,9 +1250,11 @@ def pipeline_clean_dedup_quality(spark, sf_dir):
     from magneto_matcher_spark.operators.dedup import exact_dedup
     from magneto_matcher_spark.operators.textops import quality_score_expr
 
+    from magneto_matcher_spark.operators.textops import token_count_expr
+
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     kept = docs.withColumn("quality", quality_score_expr(F.col("text"))).filter(
-        (F.col("quality") >= 0.75) & (F.size(F.split(F.trim("text"), r"\s+")) > 0)
+        (F.col("quality") >= 0.75) & (token_count_expr(F.col("text")) > 0)
     )
     deduped = exact_dedup(kept)
     return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1439,9 +1464,13 @@ def e1_hashed_embedding(spark, sf_dir):
 # cleaning family (P2/P4/P6/P7) — completes §2.2
 # ===========================================================================
 
+_DIRTY_VALUES = ["CamelCaseCol", "snake_case", "Not Reported", "yes", "No",
+                 "  Mixed Val-7  ", "n/a", "UPPER", "x1"]
+# the SQL fixture is DERIVED from the Python list (single source — editing
+# one side cannot silently break the other's oracles)
 _DIRTY_SQL = (
-    "unnest(['CamelCaseCol','snake_case','Not Reported','yes','No','  Mixed "
-    "Val-7  ','n/a','UPPER','x1']) "
+    "unnest([" + ",".join("'" + v.replace("'", "''") + "'"
+                          for v in _DIRTY_VALUES) + "]) "
 )
 
 # single-source SQL fragments for the cleaning family: the standalone
@@ -1481,10 +1510,6 @@ def p2_camel_split(spark, sf_dir):
 
     df = _ldf(spark, [(x,) for x in _DIRTY_VALUES], ["v"])
     return df.select("v", split_camel_case_expr(F.col("v")).alias("split"))
-
-
-_DIRTY_VALUES = ["CamelCaseCol", "snake_case", "Not Reported", "yes", "No",
-                 "  Mixed Val-7  ", "n/a", "UPPER", "x1"]
 
 
 @q(
@@ -1937,10 +1962,21 @@ def cdc_schema_drift(spark, sf_dir):
     )
     engine.apply_batch(batch1, source_desc="b1")
     engine.apply_batch(batch2, source_desc="b2")
-    return table.read().select(
+    out = table.read().select(
         "user_id", "event_type", "lsn", F.round("value", 6).alias("value"),
         "session_tag"
     )
+    # materialize (metadata-sized) and remove the temp lake BEFORE returning
+    # — a lazy frame over the dir would leak one populated lake tree per
+    # gate run (the result must outlive the table)
+    rows = [tuple(r) for r in out.collect()]
+    out_schema = out.schema
+    import shutil as _shutil
+
+    _shutil.rmtree(root, ignore_errors=True)
+    from magneto_matcher_spark.localframe import local_df
+
+    return local_df(spark, rows, out_schema)
 
 
 # ===========================================================================

@@ -89,20 +89,28 @@ def make_matching_pair(
             )
         )
 
-    sm_source = spark.createDataFrame(
+    # local_df (LocalTableScan), not createDataFrame(list): RDD-backed
+    # frames have no size statistics and pay a Python-worker round trip per
+    # action — the F4 cascade runs many actions over these metadata-sized
+    # frames (localframe.py module notes)
+    from magneto_matcher_spark.localframe import local_df
+
+    sm_source = local_df(
+        spark,
         src_rows,
         "PatientID string, age_at_diagnosis int, tumorStage string, gender string,"
         " smoker string, bmi double, diag_date string, gene_symbol string,"
         " follow_up_days int, site string, notes string, empty_col string",
     )
-    sm_target = spark.createDataFrame(
+    sm_target = local_df(
+        spark,
         tgt_rows,
         "patient_id string, AgeAtDx int, tumor_stage string, sex string,"
         " smoking_status string, body_mass_index double, date_of_diagnosis string,"
         " gene string, followup_d int, anatomic_site string, comments string,"
         " flag int, category string, weight double",
     )
-    sm_gt = spark.createDataFrame(GROUND_TRUTH, "src_col string, tgt_col string")
+    sm_gt = local_df(spark, GROUND_TRUTH, "src_col string, tgt_col string")
     return sm_source, sm_target, sm_gt
 
 
