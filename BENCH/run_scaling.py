@@ -281,6 +281,25 @@ delta files), and every stage scales with executors — but numbers above are
 single-node; real-cluster throughput depends on shuffle fabric and
 object-store I/O (which DO scale with executors, unlike this box's shared
 memory bus) and is NOT claimed here.
+
+
+## spark-submit --py-files invocation parity
+
+The identical MoR replay job also runs through the north rule's stated
+invocation path — `spark-submit --master local[N] --py-files
+BENCH/engine.zip BENCH/submit_job.py` — at both parallelism levels (every
+import resolved from the shipped zip; pinned with taskset; see
+`tests/test_engine.py::test_spark_submit_py_files_entrypoint` for the
+always-on smoke).  Measured this round (16M events, 10 batches, min-of-3
+interleaved): local[8] 18.3 s (877k events/s), local[32] 15.7 s (1.02M
+events/s) — recorded for invocation parity, NOT as the scaling evidence:
+the session's host window was visibly saturated (one 44 s outlier; one rep
+where 8 and 32 cores produced equal walls, i.e. ~8 effective cores), so the
+N-vs-4N efficiency numbers above, produced by the stricter interleaved
+fresh-JVM methodology, remain the pinned evidence.  The two paths run the
+same JVM job (same engine code, 64 shuffle partitions, concurrency-4
+staging); spark-submit changes only how the driver process is launched.
+
 """
     out_path = os.path.join(REPO, "BENCH", out_name)
     with open(out_path, "w") as fh:
