@@ -90,7 +90,13 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             # pandas-style fetch = the driver's typed view of the result
-            s_rows = [tuple(r) for r in sdf.toPandas().itertuples(index=False)]
+            s_pdf = sdf.toPandas()
+            # Driver canonicalization replica: pandas sort_values over every
+            # column.  Non-hashable cells (array/map/struct results) raise
+            # here exactly as they do driver-side — fail locally, not in r+1.
+            if len(s_pdf):
+                s_pdf.sort_values(by=list(s_pdf.columns))
+            s_rows = [tuple(r) for r in s_pdf.itertuples(index=False)]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {str(ex)[:400]}")
             n_fail += 1

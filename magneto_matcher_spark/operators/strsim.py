@@ -107,6 +107,27 @@ def levenshtein_ratio_expr(a, b):
     )
 
 
+def levenshtein_distance(s1: str, s2: str) -> int:
+    """Python twin of Spark's ``F.levenshtein`` (plain edit distance) for the
+    driver-local cascade — both paths must score identically."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, start=1):
+        cur = [i]
+        for j, c2 in enumerate(s2, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_ratio(s1: str, s2: str) -> float:
+    """Python twin of :func:`levenshtein_ratio_expr`."""
+    if not s1 and not s2:
+        return 1.0
+    return 1.0 - levenshtein_distance(s1, s2) / float(max(len(s1), len(s2)))
+
+
 def strsim_candidates(
     spark,
     source_cols: list[str],
@@ -114,11 +135,18 @@ def strsim_candidates(
     alignment_threshold: float = 0.95,
     fuzzy_threshold: float = 0.6,
     priority: int = 1,
+    flavor: str = "fuzzy",
 ) -> DataFrame:
     """J2: score all (src, tgt) column-name pairs; emit CANDIDATES rows.
 
     Keeps the reference's last-writer quirk: when both scores pass their
     thresholds, the fuzzy score wins (basic_matcher.py:67-77).
+
+    ``flavor="levenshtein"`` swaps the fuzzy+alignment UDF pair for the
+    pure-Catalyst ``levenshtein_ratio_expr`` on the lowercased
+    prefix-stripped names (threshold = ``fuzzy_threshold``, no alignment
+    branch) — bit-identical to a SQL oracle, so the end-to-end cascade can
+    be driver-hash-verified.
     """
     prefix_s = common_prefix(list(source_cols))
     prefix_t = common_prefix(list(target_cols))
@@ -146,19 +174,29 @@ def strsim_candidates(
             else F.col("tgt_col")
         ).alias("_pt"),
     )
-    scored = pairs.select(
-        "src_col",
-        "tgt_col",
-        alignment_udf(F.col("_ps"), F.col("_pt")).alias("alignment"),
-        fuzzy_ratio_udf(F.col("_ps"), F.col("_pt")).alias("fuzzy"),
-    )
-    return (
-        scored.withColumn(
+    if flavor == "levenshtein":
+        scored = pairs.withColumn(
+            "score",
+            F.when(
+                levenshtein_ratio_expr(F.lower("_ps"), F.lower("_pt"))
+                >= fuzzy_threshold,
+                levenshtein_ratio_expr(F.lower("_ps"), F.lower("_pt")),
+            ),
+        )
+    else:
+        scored = pairs.select(
+            "src_col",
+            "tgt_col",
+            alignment_udf(F.col("_ps"), F.col("_pt")).alias("alignment"),
+            fuzzy_ratio_udf(F.col("_ps"), F.col("_pt")).alias("fuzzy"),
+        ).withColumn(
             "score",
             F.when(F.col("fuzzy") >= fuzzy_threshold, F.col("fuzzy")).otherwise(
                 F.when(F.col("alignment") >= alignment_threshold, F.col("alignment"))
             ),
         )
+    return (
+        scored
         .filter(F.col("score").isNotNull())
         .select(
             "src_col",

@@ -53,6 +53,9 @@ DEFAULT_PARAMS = {
     "sampling_size": 10,
     "topk": 20,
     "include_strsim_matches": False,
+    # "fuzzy" = the reference's difflib/alignment UDF pair; "levenshtein" =
+    # the pure-Catalyst SQL-expressible twin (oracle-verifiable end-to-end)
+    "strsim_flavor": "fuzzy",
     "include_embedding_matches": True,
     "embedding_threshold": 0.1,
     "include_equal_matches": True,
@@ -181,11 +184,13 @@ def _strsim_pairs(
     alignment_threshold: float = 0.95,
     fuzzy_threshold: float = 0.6,
     priority: int = 1,
+    flavor: str = "fuzzy",
 ) -> list[tuple]:
     from magneto_matcher_spark.operators.strsim import (
         alignment_score_consecutive,
         common_prefix,
         fuzzy_ratio,
+        levenshtein_ratio,
     )
 
     ps = common_prefix(list(source_cols))
@@ -195,12 +200,16 @@ def _strsim_pairs(
         ss = s.replace(ps, "") if ps else s
         for t in target_cols:
             tt = t.replace(pt, "") if pt else t
-            fz = fuzzy_ratio(ss, tt)
-            if fz >= fuzzy_threshold:
-                score = fz
+            if flavor == "levenshtein":
+                lv = levenshtein_ratio(ss.lower(), tt.lower())
+                score = lv if lv >= fuzzy_threshold else None
             else:
-                a = alignment_score_consecutive(ss, tt)
-                score = a if a >= alignment_threshold else None
+                fz = fuzzy_ratio(ss, tt)
+                if fz >= fuzzy_threshold:
+                    score = fz
+                else:
+                    a = alignment_score_consecutive(ss, tt)
+                    score = a if a >= alignment_threshold else None
             if score is not None:
                 out.append((s, t, float(score), "strsim", priority))
     return out
@@ -398,7 +407,8 @@ def _get_matches_driver(
     parts: list[list[tuple]] = []
     if params["include_strsim_matches"]:
         parts.append(_strsim_pairs(source_df.columns, target_df.columns,
-                                   priority=pri["strsim"]))
+                                   priority=pri["strsim"],
+                                   flavor=params["strsim_flavor"]))
     if params["include_embedding_matches"]:
         if profiles is not None:
             src_rows = [tuple(r) for r in profiles[0].collect()]
@@ -442,7 +452,8 @@ def _get_matches_distributed(
     if params["include_strsim_matches"]:
         parts.append(
             strsim_candidates(spark, source_df.columns, target_df.columns,
-                              priority=pri["strsim"])
+                              priority=pri["strsim"],
+                              flavor=params["strsim_flavor"])
         )
     if params["include_embedding_matches"]:
         if profiles is not None:

@@ -1314,6 +1314,83 @@ def magneto_strategy_order_custom(spark, sf_dir):
     return get_matches(src, tgt, topk=3, strategy_order=["equal", "strsim"])
 
 
+_E2E_SRC = [
+    "PatientID", "age_at_diagnosis", "tumorStage", "gender", "smoker", "bmi",
+    "diag_date", "gene_symbol", "follow_up_days", "site", "notes", "empty_col",
+]
+_E2E_TGT = [
+    "patient_id", "AgeAtDx", "tumor_stage", "sex", "smoking_status",
+    "body_mass_index", "date_of_diagnosis", "gene", "followup_d",
+    "anatomic_site", "comments", "flag", "category", "weight",
+]
+_E2E_SRC_SQL = ", ".join(f"('{c}')" for c in _E2E_SRC)
+_E2E_TGT_SQL = ", ".join(f"('{c}')" for c in _E2E_TGT)
+
+
+@q(
+    "magneto_e2e_matches",
+    f"""
+    WITH src(src_col) AS (VALUES {_E2E_SRC_SQL}),
+         tgt(tgt_col) AS (VALUES {_E2E_TGT_SQL}),
+         strsim AS (
+           SELECT src_col, tgt_col,
+                  1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+                        greatest(length(src_col), length(tgt_col)) AS score,
+                  'strsim' AS strategy, 1 AS priority
+           FROM src, tgt
+           WHERE 1.0 - levenshtein(lower(src_col), lower(tgt_col)) * 1.0 /
+                 greatest(length(src_col), length(tgt_col)) >= 0.6
+         ),
+         equal_m AS (
+           SELECT s.src_col, t.tgt_col, 1.0 AS score,
+                  'equal' AS strategy, 3 AS priority
+           FROM (SELECT src_col, regexp_replace(lower(trim(src_col, ' ')),
+                        '[^a-z0-9\\s]', ' ', 'g') AS k FROM src) s
+           JOIN (SELECT tgt_col, regexp_replace(lower(trim(tgt_col, ' ')),
+                        '[^a-z0-9\\s]', ' ', 'g') AS k FROM tgt) t USING (k)
+         ),
+         cand AS (SELECT * FROM strsim UNION ALL SELECT * FROM equal_m),
+         dedup AS (
+           SELECT *, row_number() OVER (PARTITION BY src_col, tgt_col
+                                        ORDER BY priority DESC) AS rn
+           FROM cand
+         ),
+         ranked AS (
+           SELECT src_col, tgt_col, score, strategy,
+                  row_number() OVER (PARTITION BY src_col
+                                     ORDER BY score DESC, tgt_col) AS rank
+           FROM dedup WHERE rn = 1
+         )
+    SELECT 'source' AS src_table, src_col, 'target' AS tgt_table, tgt_col,
+           round(score, 6) AS score, CAST(rank AS INT) AS rank, strategy
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def magneto_e2e_matches(spark, sf_dir):
+    """The flagship matcher END-TO-END, oracle-checked: full get_matches
+    cascade (clean → strsim → equal → J5 dedup → W1 top-3) on the F4 fixture
+    pair, with ``strsim_flavor='levenshtein'`` so every score is
+    SQL-derivable (the fuzzy/alignment UDF flavor stays the default and is
+    bench-timed as magneto_get_matches_f4).  Both fixture tables' column
+    names have empty common prefixes (min/max sort: 'PatientID'..'tumorStage'
+    and 'AgeAtDx'..'weight'), so the W5 prefix strip is the identity here and
+    the oracle can omit it."""
+    from magneto_matcher_spark.plans.matcher import get_matches
+    from magneto_matcher_spark.sources.fixtures import make_matching_pair
+
+    src, tgt, _ = make_matching_pair(spark, n_rows=120)
+    m = get_matches(
+        src, tgt, topk=3,
+        include_strsim_matches=True,
+        include_embedding_matches=False,
+        strsim_flavor="levenshtein",
+    )
+    return m.select(
+        "src_table", "src_col", "tgt_table", "tgt_col",
+        F.round("score", 6).alias("score"), "rank", "strategy",
+    )
+
+
 @q("dedup_embedding_lsh")  # seeded-numpy hyperplanes: rows-only
 def dedup_embedding_lsh(spark, sf_dir):
     """The 100 TB near-dup path: LSH-bucketed cosine (never broadcasts the
@@ -1854,19 +1931,23 @@ def profile_semantic_types(spark, sf_dir):
     "a6_type2columns",
     """
     SELECT * FROM (VALUES
-      ('binary',      ['gender']),
-      ('categorical', ['tumor_stage']),
-      ('date',        ['visit_date']),
-      ('gene',        ['gene_symbol']),
-      ('key',         ['patient_id']),
-      ('numerical',   ['age_at_diagnosis'])
+      ('binary',      'gender'),
+      ('categorical', 'tumor_stage'),
+      ('date',        'visit_date'),
+      ('gene',        'gene_symbol'),
+      ('key',         'patient_id'),
+      ('numerical',   'age_at_diagnosis')
     ) AS t(sem_type, columns)
     """,
 )
 def a6_type2columns(spark, sf_dir):
+    # Driver canonicalization (pandas sort_values) can't hash array cells,
+    # so the window query string-joins the sorted column list on both sides.
     from magneto_matcher_spark.operators.profile import type2columns_map
 
-    return type2columns_map(_profile_fixture(spark))
+    return type2columns_map(_profile_fixture(spark)).select(
+        "sem_type", F.array_join("columns", ",").alias("columns")
+    )
 
 
 # ===========================================================================
@@ -2130,7 +2211,9 @@ def serialize_all_modes(spark, sf_dir):
 _DRIVER_WINDOW = [
     "w4_max_lsn_dedup",
     "w4_salted_dedup",
-    "w4_window_dedup",
+    # w4_window_dedup moved to the tail (its oracle duplicated
+    # w4_max_lsn_dedup's) to free the slot for the end-to-end matcher
+    "magneto_e2e_matches",
     "cdc_replay_final_state",
     "cdc_batch_metrics",
     "cdc_schema_drift",

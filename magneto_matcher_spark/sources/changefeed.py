@@ -161,11 +161,16 @@ def write_change_files(
     # rerun support (matching the staged write's mode('overwrite')): clear
     # prior batch dirs so a re-generation can neither crash the rename
     # (ENOTEMPTY) nor leave stale batch_* dirs from a larger previous run
-    # that a directory-consuming replay would read as duplicate data
+    # that a directory-consuming replay would read as duplicate data.
+    # Deletion is scoped to THIS writer's exact naming pattern
+    # (batch_ + 5-digit index) — out_dir is otherwise shared-safe, and
+    # failures surface instead of being swallowed.
+    import re as _re
+
     if os.path.isdir(out_dir):
         for d in os.listdir(out_dir):
-            if d.startswith("batch_"):
-                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            if _re.fullmatch(r"batch_\d{5}", d):
+                shutil.rmtree(os.path.join(out_dir, d))
     staged = f"{out_dir}/_staged"
     (
         feed.withColumn("_batch", batch_id)

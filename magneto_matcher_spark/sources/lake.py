@@ -929,7 +929,11 @@ class LakeTable:
             return {"snapshots_removed": 0, "files_deleted": 0, "segs_deleted": 0}
         kept, expired = snaps[-keep_last:], snaps[:-keep_last]
         cur_id = self.meta["current_snapshot_id"]
-        assert any(s["snapshot_id"] == cur_id for s in kept), "current must be kept"
+        if not any(s["snapshot_id"] == cur_id for s in kept):
+            # safety invariant, not a debug check — must survive python -O
+            raise RuntimeError(
+                f"expire_snapshots would drop the current snapshot {cur_id}"
+            )
 
         # roll the watermark of expired merge commits into table metadata
         best = int(self.meta.get("expired_offset_end", -1))
@@ -950,6 +954,14 @@ class LakeTable:
         dead_files -= live_files
         dead_segs -= live_segs
 
+        # Iceberg ordering: COMMIT the pruned metadata first, THEN clean up.
+        # A crash between the two leaves harmless orphan files; the reverse
+        # order would leave metadata pointing at deleted files (broken
+        # manifest()/read() for still-listed snapshots).
+        self.meta["snapshots"] = kept
+        self.meta["version"] += 1
+        self._write_metadata()
+
         n_files = n_segs = 0
         if delete_orphans:
             for rel in dead_files:
@@ -963,10 +975,6 @@ class LakeTable:
                     os.remove(p)
                     n_segs += 1
                 self._seg_cache.pop(rel, None)
-
-        self.meta["snapshots"] = kept
-        self.meta["version"] += 1
-        self._write_metadata()
         if delete_orphans:
             # superseded metadata versions: every commit leaves a v{n}.json
             # behind — without this sweep the metadata dir grows O(commits),

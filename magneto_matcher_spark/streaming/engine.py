@@ -551,22 +551,27 @@ def _lineage_keys(uris: list[str]) -> list[str]:
         return unquote(urlparse(u).path) if "://" in u else unquote(u)
 
     paths = [decode(u) if u else "" for u in uris]
-    counts: dict[str, int] = {}
-    for p in paths:
-        if p:
-            b = os.path.basename(p)
-            counts[b] = counts.get(b, 0) + 1
-    out = []
-    for p in paths:
-        if not p:
-            out.append("unpartitioned")
-            continue
-        b = os.path.basename(p)
-        if counts[b] > 1:
-            out.append(os.path.join(os.path.basename(os.path.dirname(p)), b))
-        else:
-            out.append(b)
-    return out
+
+    def suffix(p: str, depth: int) -> str:
+        # last `depth` path components (depth=1 → basename)
+        return os.path.join(*p.split(os.sep)[-depth:])
+
+    # progressively lengthen the path suffix until every non-empty path has
+    # a unique key — two files may collide on basename AND parent-dir name
+    # (a/date=A/data.parquet vs b/date=A/data.parquet), so one fixed level
+    # of disambiguation isn't enough; distinct paths always differ at SOME
+    # depth, so this terminates with unique keys
+    keys = {p: os.path.basename(p) for p in paths if p}
+    depth = 1
+    while len(set(keys.values())) < len(keys):
+        depth += 1
+        seen: dict[str, int] = {}
+        for p in keys:
+            seen[keys[p]] = seen.get(keys[p], 0) + 1
+        for p in list(keys):
+            if seen[keys[p]] > 1:
+                keys[p] = suffix(p, depth)
+    return [keys[p] if p else "unpartitioned" for p in paths]
 
 
 def _footer_stats(

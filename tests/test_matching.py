@@ -130,6 +130,28 @@ def test_driver_vs_distributed_cascade_parity(spark, pair):
     assert a == b and len(a) > 0
 
 
+def test_levenshtein_flavor_parity(spark, pair):
+    """strsim_flavor='levenshtein' (the oracle-verifiable cascade behind
+    magneto_e2e_matches): driver and distributed paths must agree exactly —
+    both are integer-ratio arithmetic, so no ULP tolerance needed."""
+    from magneto_matcher_spark.plans.matcher import get_matches
+
+    src, tgt, _ = pair
+
+    def norm(df):
+        return sorted(
+            (r["src_col"], r["tgt_col"], r["rank"], r["strategy"], r["score"])
+            for r in df.collect()
+        )
+
+    kw = dict(topk=3, include_strsim_matches=True,
+              include_embedding_matches=False, strsim_flavor="levenshtein")
+    a = norm(get_matches(src, tgt, execution="driver", **kw))
+    b = norm(get_matches(src, tgt, execution="distributed", **kw))
+    assert a == b and len(a) > 0
+    assert all(s == "strsim" or sc == 1.0 for _, _, _, s, sc in a)
+
+
 def test_serialize_text_twin_parity(spark, pair):
     """serialize_text (Python) must be byte-identical to serialize_expr
     (Catalyst) for every encoding mode."""

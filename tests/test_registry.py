@@ -29,6 +29,24 @@ def test_every_registered_query_is_callable_and_every_oracle_has_a_query():
     assert orphans == [], f"oracles without a query: {orphans}"
 
 
+def test_window_schemas_are_scalar_only(spark):
+    """The driver canonicalizes results with pandas sort_values, which throws
+    ``unhashable type`` on array/map/struct cells (that exact failure erred
+    a6_type2columns in round 3).  Every driver-window query must therefore
+    return only atomic-typed columns."""
+    from pyspark.sql import types as T
+
+    queries = build_queries()
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in _DRIVER_WINDOW:
+        df = queries[name](spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert offenders == [], f"non-scalar window columns: {offenders}"
+
+
 def test_consolidations_cover_their_micro_queries():
     queries = build_queries()
     # each consolidated window query's constituents stay registered (tail)
