@@ -262,15 +262,24 @@ def main():
     q_times = {}
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") != "cdc_only":
         queries = build_queries()
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            # noop sink, NOT count(): count() lets Catalyst prune every
-            # unreferenced select expression, so the computation being
-            # "benchmarked" (quality score, lang id, ...) would largely
-            # never execute and the timing would be a bare scan
-            df.write.format("noop").mode("overwrite").save()
-            q_times[name] = round(time.time() - t0, 3)
+        # min-of-N with INTERLEAVED passes (full sweep 1, then full sweep 2),
+        # matching the headline's rep discipline: this VM shows documented
+        # 2-7x burst swings, so single-shot per-query timings made
+        # round-over-round deltas uninterpretable (r02→r03 showed 2x+
+        # "regressions" on untouched queries).  Interleaving the sweeps
+        # decorrelates a burst from any single query's reps.
+        reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+        for _rep in range(reps):
+            for name in BENCH_QUERIES:
+                t0 = time.time()
+                df = queries[name](spark, sf_dir)
+                # noop sink, NOT count(): count() lets Catalyst prune every
+                # unreferenced select expression, so the computation being
+                # "benchmarked" (quality score, lang id, ...) would largely
+                # never execute and the timing would be a bare scan
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                q_times[name] = min(q_times.get(name, dt), dt)
 
     out = {
         "metric": "cdc_merge_replay_events_per_sec",

@@ -279,6 +279,90 @@ def _rewrite_suite_means(
 
 
 # --------------------------------------------------------------------------
+# GDC corpus layout walk (gdc_benchmark.py:121-140)
+# --------------------------------------------------------------------------
+
+def walk_gdc_pairs(spark, root: str, target_csv: str | None = None,
+                   skip=frozenset()):
+    """Yield (pair_name, source_df, target_df, gt_df) from a GDC-layout
+    corpus: per-source tables in ``ROOT/source-tables/<name>.csv``, matching
+    ground-truth CSVs (same filename) in ``ROOT/ground-truth/<name>.csv``,
+    and ONE shared concatenated target table (reference
+    gdc_benchmark.py:121-140 — the GT listing drives the walk; a GT file
+    without a source table is skipped, and the target is read once and
+    shared by every pair).
+
+    ``target_csv`` defaults to the reference's
+    ``target-tables/gdc_unique_columns_concat_values.csv``; any single CSV
+    under ``target-tables/`` is accepted as a fallback.  ``skip`` works like
+    :func:`walk_valentine_pairs`'s — O(1) resume before any file read."""
+    from pyspark.sql import functions as F
+
+    from magneto_matcher_spark.sources.fixtures import read_ground_truth_csv
+
+    if target_csv is None:
+        default = os.path.join(
+            root, "target-tables", "gdc_unique_columns_concat_values.csv"
+        )
+        if os.path.exists(default):
+            target_csv = default
+        else:
+            tdir = os.path.join(root, "target-tables")
+            cands = sorted(
+                f for f in os.listdir(tdir) if f.endswith(".csv")
+            ) if os.path.isdir(tdir) else []
+            if not cands:
+                return
+            target_csv = os.path.join(tdir, cands[0])
+    tgt = spark.read.csv(target_csv, header=True, inferSchema=True)
+
+    gt_dir = os.path.join(root, "ground-truth")
+    src_dir = os.path.join(root, "source-tables")
+    if not os.path.isdir(gt_dir):
+        return
+    for gt_file in sorted(os.listdir(gt_dir)):
+        if not gt_file.endswith(".csv"):
+            continue
+        pair_name = gt_file[:-4]
+        if pair_name in skip:
+            continue
+        src_p = os.path.join(src_dir, gt_file)
+        if not os.path.exists(src_p):
+            continue
+        gt = read_ground_truth_csv(spark, os.path.join(gt_dir, gt_file)).select(
+            F.col("source_column").alias("src_col"),
+            F.col("target_column").alias("tgt_col"),
+        )
+        src = spark.read.csv(src_p, header=True, inferSchema=True)
+        yield (pair_name, src, tgt, gt)
+
+
+def run_gdc_benchmark(
+    spark,
+    root: str,
+    out_csv: str,
+    benchmark: str = "gdc",
+    target_csv: str | None = None,
+    **kwargs,
+) -> list[dict]:
+    """Directory-walking wrapper over :func:`run_matcher_benchmark` for a
+    GDC-layout corpus — resume-safe like :func:`run_valentine_benchmark`,
+    with one ``gdc:mean`` row recomputed over all recorded pairs."""
+    method = kwargs.get("method", "magneto-spark")
+    done = completed_pairs(out_csv)
+    skip = {
+        p for (b, m, p) in done
+        if b == benchmark and m == method and not p.endswith(":mean")
+    }
+    pairs = list(walk_gdc_pairs(spark, root, target_csv=target_csv, skip=skip))
+    results = run_matcher_benchmark(
+        spark, pairs, out_csv, benchmark=benchmark, **kwargs
+    )
+    summaries = _rewrite_suite_means(out_csv, 1, benchmark, method)
+    return results + summaries
+
+
+# --------------------------------------------------------------------------
 # encoding × sampling ablation grid
 # (run_encoding_sampling_ablation_valentine.py:35-52, 94-170)
 # --------------------------------------------------------------------------

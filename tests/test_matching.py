@@ -709,6 +709,45 @@ def test_valentine_three_level_walk(spark, tmp_path):
     assert {r["mrr"] for r in rows2 if r["pair_name"].endswith(":mean")} == {"1.0"}
 
 
+def test_gdc_layout_walk(spark, tmp_path):
+    """GDC layout (gdc_benchmark.py:121-140): ground-truth CSVs drive the
+    walk, each paired with the same-named source table and ONE shared
+    concatenated target; S4 rows + resume, like the Valentine walks."""
+    import csv as _csv
+    import os as _os
+
+    from magneto_matcher_spark.benchrunner import run_gdc_benchmark
+
+    root = tmp_path / "gdc"
+    for d in ("source-tables", "ground-truth", "target-tables"):
+        _os.makedirs(str(root / d))
+    with open(str(root / "target-tables" /
+                  "gdc_unique_columns_concat_values.csv"), "w") as fh:
+        fh.write("patient_id,age_years\np1,30\np2,41\n")
+    for study in ("studyA", "studyB"):
+        with open(str(root / "source-tables" / f"{study}.csv"), "w") as fh:
+            fh.write("patient_id,age\np1,30\np2,41\np3,28\n")
+        with open(str(root / "ground-truth" / f"{study}.csv"), "w") as fh:
+            fh.write("source_column,target_column\n"
+                     "patient_id,patient_id\nage,age_years\n")
+    # a GT file with no matching source table is skipped, like the reference
+    with open(str(root / "ground-truth" / "orphan.csv"), "w") as fh:
+        fh.write("source_column,target_column\nx,y\n")
+
+    out_csv = str(tmp_path / "gdc.csv")
+    results = run_gdc_benchmark(spark, str(root), out_csv)
+    assert [r["pair_name"] for r in results] == ["studyA", "studyB", "gdc:mean"]
+    for r in results:
+        assert r["mrr"] == 1.0, r
+
+    # resume: no new pair rows; exactly one mean row survives in the CSV
+    again = run_gdc_benchmark(spark, str(root), out_csv)
+    assert [r for r in again if not r["pair_name"].endswith(":mean")] == []
+    with open(out_csv, newline="") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert [r["pair_name"] for r in rows] == ["studyA", "studyB", "gdc:mean"]
+
+
 def test_valentine_one_level_walk(spark, tmp_path):
     """One-level layout (valentine_benchmark.py:139-145): folder name is
     UPPER-ish, file stems are folder.lower()."""
