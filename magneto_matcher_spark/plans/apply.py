@@ -62,16 +62,30 @@ def dedup_max_lsn(
     lsn_col: str = "lsn",
     strategy: str = "agg",
     n_salts: int = 32,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """W4 (SURVEY.md §2.5): keep only the max-LSN event per key.
 
     Returns a DataFrame with the same schema as ``batch``, ≤ one row per key.
+
+    ``n_partitions`` pins the FINAL exchange to ``repartition(n, *key)``
+    (which satisfies the agg/window distribution, so no extra exchange
+    appears).  With a keyhash-bucketed table and ``n = n_buckets``, the
+    dedup shuffle IS the bucket layout — partition p holds exactly bucket
+    p's rows (see sources/lake.py bucket_expr_keyhash) and the delta/merge
+    write skips its own repartition.
     """
     key = key or TRANSCRIPT_KEY
+
+    def pin(df: DataFrame) -> DataFrame:
+        if n_partitions is None:
+            return df
+        return df.repartition(n_partitions, *[F.col(c) for c in key])
+
     if strategy == "window":
         w = Window.partitionBy(*key).orderBy(F.col(lsn_col).desc())
         return (
-            batch.withColumn("_rn", F.row_number().over(w))
+            pin(batch).withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
@@ -80,7 +94,9 @@ def dedup_max_lsn(
     payload = F.struct(*[F.col(c) for c in payload_cols])
 
     if strategy == "agg":
-        won = batch.groupBy(*key).agg(F.max_by(payload, F.col(lsn_col)).alias("_w"))
+        won = pin(batch).groupBy(*key).agg(
+            F.max_by(payload, F.col(lsn_col)).alias("_w")
+        )
         return won.select([F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
     if strategy == "salted":
@@ -95,7 +111,9 @@ def dedup_max_lsn(
             .groupBy(*key, "_salt")
             .agg(F.max_by(payload, F.col(lsn_col)).alias("_w"), F.max(lsn_col).alias("_l"))
         )
-        phase2 = phase1.groupBy(*key).agg(F.max_by(F.col("_w"), F.col("_l")).alias("_w"))
+        phase2 = pin(phase1).groupBy(*key).agg(
+            F.max_by(F.col("_w"), F.col("_l")).alias("_w")
+        )
         return phase2.select([F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
     raise ValueError(f"unknown dedup strategy: {strategy}")

@@ -222,13 +222,16 @@ class CdcEngine:
             metrics["dedup_used"] = f"fused-{strategy}"
         else:
             # MoR consumes winners exactly once (the delta write) — dedup
-            # up front so delta files stay ≤1 row/key.
+            # up front so delta files stay ≤1 row/key.  On keyhash tables
+            # the dedup's final exchange is pinned to n_buckets partitions
+            # so the delta write reuses it (one exchange per batch).
             to_merge = dedup_max_lsn(
                 batch,
                 key=self.table.key,
                 lsn_col=lsn_col,
                 strategy=strategy,
                 n_salts=self.n_salts,
+                n_partitions=self.table.aligned_partitions(),
             )
             metrics["dedup_used"] = strategy
         if hot_est is not None:
@@ -254,6 +257,7 @@ class CdcEngine:
             pre_deduped=not cow,
             dedup_strategy=strategy,
             n_salts=self.n_salts,
+            aligned=not cow and self.table.aligned_partitions() is not None,
         )
         # the MERGE snapshot's summary, captured BEFORE compaction/expiry —
         # afterwards the current snapshot may be the compaction's (whose
@@ -392,14 +396,18 @@ class CdcEngine:
                 return (path, n, lo, hi, spans, None, time.time() - t0)
             batch = normalize_payload(spark.read.parquet(path))
             strategy, _ = self._resolve_dedup_strategy(batch, n)
+            n_aligned = self.table.aligned_partitions()
             winners = dedup_max_lsn(
                 batch,
                 key=self.table.key,
                 lsn_col=lsn_col,
                 strategy=strategy,
                 n_salts=self.n_salts,
+                n_partitions=n_aligned,
             )
-            entries = self.table.stage_delta(winners)
+            entries = self.table.stage_delta(
+                winners, aligned=n_aligned is not None
+            )
             return (path, n, lo, hi, spans, entries, time.time() - t0)
 
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
@@ -456,6 +464,11 @@ class CdcEngine:
                 buckets_rewritten=0,
                 duration_s=dur,
                 stats_s=0.0,
+                # phase attribution: stage = read+dedup+delta write (runs
+                # concurrently across batches), commit = serial LSN-ordered
+                # metadata commit + maintenance
+                stage_s=round(stage_s, 3),
+                commit_s=round(time.time() - t0, 3),
                 merge_s=dur,
                 compacted=compacted,
                 events_per_sec=n / dur if dur > 0 else float("inf"),
