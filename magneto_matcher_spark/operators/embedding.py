@@ -186,8 +186,8 @@ def knn_topk_lsh(
     corpus: DataFrame,
     k: int,
     dim: int,
-    n_bits: int = 8,
-    n_tables: int = 4,
+    n_bits: int = 4,
+    n_tables: int = 12,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
@@ -276,7 +276,7 @@ def knn_topk_ivf(
     corpus: DataFrame,
     k: int,
     n_cells: int = 16,
-    n_probe: int = 3,
+    n_probe: int = 8,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",

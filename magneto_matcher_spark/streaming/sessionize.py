@@ -72,22 +72,42 @@ def sessionize_batch(
 
 
 def sessionize_stream(
-    events: DataFrame, gap_seconds: float = 1800.0
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    drop_late_beyond_gap: bool = False,
+    dropped_acc=None,
 ) -> DataFrame:
     """Streaming sessionizer over a keyed stream of (user_id, event_id, ts,
     value): emits each CLOSED session (closure = a later event of the same
     user arrives > gap after the session's last event).  The still-open
     tail session per user lives in the group state and is emitted only when
     a future batch closes it — exactly-once under replay because closure
-    depends on event time alone."""
+    depends on event time alone.
+
+    ``drop_late_beyond_gap=True`` makes the bounded-disorder contract a hard
+    invariant instead of an assumption: the state tracks the user's emitted
+    horizon (max emitted ``session_end``), and any event with ``ts <=
+    horizon`` is DROPPED and counted into ``dropped_acc`` (a SparkContext
+    accumulator, optional).  In-contract feeds (every displaced event within
+    the gap of the still-open session) never hit the cutoff — an emitted
+    session's closure was proven by an island > gap after it, so in-contract
+    arrivals are strictly newer than the horizon — making stream == batch
+    twin EXACT by construction; out-of-contract stragglers can no longer
+    fabricate spurious divergent sessions (they are dropped, deterministic
+    and observable, instead of emitted).  Uses a wider state schema (extra
+    ``hz`` field): do not flip the flag on an existing checkpoint."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdf_iter, state):
         import pandas as pd
 
         (user_id,) = key
+        hz = None
         if state.exists:
-            start, last, n, sv = state.get
+            if drop_late_beyond_gap:
+                start, last, n, sv, hz = state.get
+            else:
+                start, last, n, sv = state.get
         else:
             start, last, n, sv = None, None, 0, 0.0
         closed: list[tuple] = []
@@ -112,6 +132,13 @@ def sessionize_stream(
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            if drop_late_beyond_gap and hz is not None:
+                ts_sec = pdf["ts"].map(lambda x: x.timestamp())
+                late = ts_sec <= hz
+                if late.any():
+                    if dropped_acc is not None:
+                        dropped_acc.add(int(late.sum()))
+                    pdf = pdf[~late]
             islands: list[list] = []  # [start, last, n, sv]
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = ts.timestamp()
@@ -137,8 +164,14 @@ def sessionize_stream(
                     merged.append(list(isl))
             for isl in merged[:-1]:
                 closed.append((user_id, isl[0], isl[1], isl[2], round(isl[3], 4)))
-            start, last, n, sv = merged[-1]
-        state.update((start, last, n, sv))
+                if drop_late_beyond_gap:
+                    hz = isl[1] if hz is None else max(hz, isl[1])
+            if merged:  # drop-filter can empty the batch with no open session
+                start, last, n, sv = merged[-1]
+        if drop_late_beyond_gap:
+            state.update((start, last, n, sv, hz))
+        else:
+            state.update((start, last, n, sv))
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -148,10 +181,13 @@ def sessionize_stream(
                 ],
             )
 
+    state_schema = (
+        _STATE_SCHEMA + ", hz double" if drop_late_beyond_gap else _STATE_SCHEMA
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         SESSION_OUT_SCHEMA,
-        _STATE_SCHEMA,
+        state_schema,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -292,6 +292,35 @@ def test_mor_read_prunes_clean_buckets(spark, mor_table):
     assert state[("conv7", 0)] == "upd" and len(state) == 40
 
 
+def test_compact_restores_plain_scan_reads(spark, mor_table):
+    """Read-amplification bound (BENCH/read_amp.py's structural twin): a
+    delta-deep table resolves through a dedup Exchange; after compact() the
+    full-table read is a PLAIN SCAN (zero Exchanges, zero delta entries)
+    with byte-identical contents."""
+    for i in range(5):  # depth-5: five incremental delta batches
+        b = spark.createDataFrame(
+            [_ev(10 * i + j, "I" if i == 0 else "U", f"conv{j}", 0, f"t{i}")
+             for j in range(8)],
+            CHANGE_FEED_SCHEMA,
+        )
+        mor_table.merge(dedup_max_lsn(b))
+    before = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in mor_table.read().collect()}
+    deep_plan = (mor_table.read()._jdf.queryExecution()
+                 .executedPlan().toString())
+    assert "Exchange" in deep_plan  # dirty buckets need the dedup shuffle
+
+    mor_table.compact()
+    manifest = mor_table.manifest(mor_table.current_snapshot())
+    assert not any(e.get("kind") == "delta" for e in manifest)
+    flat_plan = (mor_table.read()._jdf.queryExecution()
+                 .executedPlan().toString())
+    assert "Exchange" not in flat_plan  # plain scan restored
+    after = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in mor_table.read().collect()}
+    assert after == before and after[("conv0", 0)] == "t4"
+
+
 def test_files_per_bucket_subsplit(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "fpb"), TABLE_SCHEMA, key=TRANSCRIPT_KEY,

@@ -289,16 +289,16 @@ def test_knn_self_is_top1(spark):
 
 
 def test_knn_lsh_reasonable_recall(spark):
+    """Floor pinned at the DEFAULT operating point (12 tables x 4 bits),
+    graded 0.90 on the sf0.1 fixture — full table in BENCH/ANN_RECALL.md."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300).cache()
     dim = len(emb.first()["embedding"])
     exact = knn_topk(emb.limit(20), emb, k=10).collect()
-    approx = knn_topk_lsh(
-        emb.limit(20), emb, k=10, dim=dim, n_bits=4, n_tables=6
-    ).collect()
+    approx = knn_topk_lsh(emb.limit(20), emb, k=10, dim=dim).collect()
     exact_set = {(r["vec_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["vec_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall > 0.5, f"multi-table LSH recall too low: {recall}"
+    assert recall >= 0.8, f"LSH recall at default point too low: {recall}"
 
 
 def test_cosine_expr_matches_numpy(spark):
@@ -613,18 +613,20 @@ def test_ground_truth_scans_csv_and_json(spark, tmp_path):
 def test_knn_ivf_recall_and_determinism(spark):
     from magneto_matcher_spark.operators.embedding import knn_topk_ivf
 
+    # floor pinned at the DEFAULT operating point (16 cells, probe 8),
+    # graded 0.85 on the sf0.1 fixture — full table in BENCH/ANN_RECALL.md
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300).cache()
     exact = knn_topk(emb.limit(20), emb, k=10).collect()
-    approx = knn_topk_ivf(emb.limit(20), emb, k=10, n_cells=8, n_probe=3).collect()
+    approx = knn_topk_ivf(emb.limit(20), emb, k=10).collect()
     exact_set = {(r["vec_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["vec_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall > 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.8, f"IVF recall at default point too low: {recall}"
     # each corpus row lives in exactly one cell → no duplicate candidates
     assert len(approx) == len(approx_set)
     # seeded k-means + deterministic tie-break → identical on re-run
     again = {(r["vec_id"], r["neighbor_id"]) for r in
-             knn_topk_ivf(emb.limit(20), emb, k=10, n_cells=8, n_probe=3).collect()}
+             knn_topk_ivf(emb.limit(20), emb, k=10).collect()}
     assert again == approx_set
 
 

@@ -302,6 +302,75 @@ def test_stream_cross_batch_late_events_island_merge(spark, tmp_path):
     assert got == closed_by_batch
 
 
+def _run_stream_drops(spark, in_dir, ckpt, drops, emitted, **kw):
+    for name, batch_rows in drops:
+        spark.createDataFrame(batch_rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(EV_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(in_dir)),
+                **kw,
+            )
+            .writeStream.foreachBatch(lambda df, _b: emitted.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def test_stream_drop_late_beyond_gap_contract(spark, tmp_path):
+    """drop_late_beyond_gap: (a) an in-contract split feed is EXACTLY equal
+    to the batch twin with zero drops; (b) an out-of-contract straggler
+    (older than the emitted horizon) is dropped and counted instead of
+    fabricating a spurious session."""
+    gap = 1800.0
+
+    # (a) in-contract: the same EVENTS feed split mid-stream
+    in_dir, ckpt = tmp_path / "ok_in", tmp_path / "ok_ck"
+    in_dir.mkdir()
+    emitted: list = []
+    acc = spark.sparkContext.accumulator(0)
+    _run_stream_drops(
+        spark, in_dir, ckpt,
+        [("d1", EVENTS[:4]), ("d2", EVENTS[4:]),
+         ("d3", [_ev(99, 1, 99_000), _ev(98, 2, 99_000)])],  # closers
+        emitted, drop_late_beyond_gap=True, dropped_acc=acc,
+    )
+    batch = sessionize_batch(
+        spark.createDataFrame(EVENTS, EV_SCHEMA), gap_seconds=gap
+    ).collect()
+    key = lambda r: (r["user_id"], round(r["session_start"], 3),  # noqa: E731
+                     round(r["session_end"], 3), r["n_events"])
+    assert sorted(key(r) for r in emitted) == sorted(key(r) for r in batch)
+    assert acc.value == 0
+
+    # (b) out-of-contract: after user 1's first session [0, 100] was emitted
+    # (closed by event 3 at 2100), a straggler at t=50 arrives — older than
+    # the emitted horizon.  It must be dropped+counted, and emitted sessions
+    # must stay exactly the in-contract set.
+    in_dir, ckpt = tmp_path / "ooc_in", tmp_path / "ooc_ck"
+    in_dir.mkdir()
+    emitted2: list = []
+    acc2 = spark.sparkContext.accumulator(0)
+    _run_stream_drops(
+        spark, in_dir, ckpt,
+        [("d1", EVENTS[:4]),                      # emits user1 [0, 100]
+         ("d2", [_ev(50, 1, 50)]),                # straggler below horizon
+         ("d3", [_ev(97, 1, 99_000)])],           # closes the open session
+        emitted2, drop_late_beyond_gap=True, dropped_acc=acc2,
+    )
+    assert acc2.value == 1
+    got = sorted(key(r) for r in emitted2)
+    base = T0.timestamp()
+    assert got == [(1, round(base, 3), round(base + 100, 3), 2),
+                   (1, round(base + 2100, 3), round(base + 2200, 3), 2)]
+
+
 def test_stream_bounded_disorder_property(spark, tmp_path):
     """Property (seeded cases): for random feeds where a random subset of
     each drop-boundary's TAIL ISLAND slips into the next drop (bounded
