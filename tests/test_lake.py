@@ -170,6 +170,27 @@ def test_committed_offset_watermark(spark, table):
     assert table.committed_offset_end() == 19
 
 
+def test_keyhash_alignment_partition_equals_bucket(spark):
+    """The invariant behind the one-exchange write: after
+    repartition(n, *key), spark_partition_id() == bucket_expr_keyhash(key, n)
+    for EVERY row — F.hash is the same murmur3(seed 42) HashPartitioning
+    uses, so the write needs no repartition and emits 1 file per bucket."""
+    from pyspark.sql import functions as F
+
+    from magneto_matcher_spark.sources.lake import bucket_expr_keyhash
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("conv"), (F.col("id") % 97)).alias("conv_id"),
+        (F.col("id") % 53).cast("int").alias("turn_idx"),
+    )
+    n = 16
+    shaped = df.repartition(n, F.col("conv_id"), F.col("turn_idx")).select(
+        F.spark_partition_id().alias("pid"),
+        bucket_expr_keyhash(["conv_id", "turn_idx"], n).alias("bucket"),
+    )
+    assert shaped.filter(F.col("pid") != F.col("bucket")).count() == 0
+
+
 def test_bucket_expr_deterministic(spark):
     df = spark.range(100).select(F.format_string("c%d", F.col("id")).alias("conv_id"))
     a = df.select(bucket_expr("conv_id", 8).alias("b")).collect()
