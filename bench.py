@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "magneto_get_matches_f4",
+    "magneto_e2e_matches",
     "w_sessionize_gaps",
 ]
 
