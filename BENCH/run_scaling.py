@@ -363,14 +363,14 @@ invocation path — `spark-submit --master local[N] --py-files
 BENCH/engine.zip BENCH/submit_job.py` — at both parallelism levels (every
 import resolved from the shipped zip; pinned with taskset; see
 `tests/test_engine.py::test_spark_submit_py_files_entrypoint` for the
-always-on smoke).  Round-3 measurement (pre-keyhash engine, 16M events, 10
-batches, min-of-3 interleaved): local[8] 18.3 s (877k events/s), local[32]
-15.7 s (1.02M events/s) — recorded for invocation parity, NOT as the
-scaling evidence (that host window was visibly saturated); the N-vs-4N
-efficiency numbers above, produced by the stricter interleaved fresh-JVM
-methodology, are the pinned evidence.  The two paths run the same JVM job
-(same engine code, 64 shuffle partitions, concurrency-4 staging);
-spark-submit changes only how the driver process is launched.
+always-on smoke).  Re-measured round 4 with the keyhash engine (16M
+events, 10 batches, min-of-3 interleaved, salted dedup): local[8] 21.1 s
+(757k events/s), local[32] 13.3 s (1.20M events/s) — a clean N-vs-4N
+separation through the stated invocation path (round 3's window had shown
+an 8≈32 anomaly under host saturation).  Recorded for invocation parity,
+NOT as the scaling evidence; the interleaved fresh-JVM methodology above
+is the pinned evidence.  The two paths run the same JVM job; spark-submit
+changes only how the driver process is launched.
 
 """
     out_path = os.path.join(REPO, "BENCH", out_name)
