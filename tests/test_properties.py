@@ -115,3 +115,50 @@ def test_contract_mode_contiguous_batches(spark, events, seed, n_batches):
     expected = {k: v for k, v in _oracle(rows).items()}
     got = _final(spark, rows, n_batches, seed, keep_tombstones=False)
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events, write_mode=st.sampled_from(["cow", "mor"]))
+def test_bucket_transform_equivalence(spark, events, write_mode):
+    """The bucket transform is LAYOUT, not semantics: replaying the same
+    feed into a 'keyhash' table (one-exchange aligned writes) and a classic
+    'bucket' (xxhash64 single-column) table must produce identical resolved
+    final states, for both write modes."""
+    import tempfile
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from magneto_matcher_spark.schemas import TRANSCRIPT_KEY
+    from magneto_matcher_spark.sources.lake import LakeTable
+
+    rows = _to_rows(events)
+    batch_schema = CHANGE_FEED_SCHEMA
+    schema = T.StructType(
+        [f for f in batch_schema.fields if f.name != "op"]
+    )
+    tmp = tempfile.mkdtemp(prefix="transform_eq_")
+    try:
+        states = {}
+        for transform in ("keyhash", "bucket"):
+            t = LakeTable.create(
+                spark, f"{tmp}/{transform}_{write_mode}", schema,
+                key=TRANSCRIPT_KEY, n_buckets=4, write_mode=write_mode,
+                bucket_transform=transform,
+            )
+            batch = spark.createDataFrame(rows, batch_schema)
+            t.merge(batch, pre_deduped=False)
+            states[transform] = {
+                (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"])
+                for r in t.read().collect()
+            }
+        assert states["keyhash"] == states["bucket"]
+        assert states["keyhash"] == {
+            k: v for k, v in _oracle(rows).items()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
