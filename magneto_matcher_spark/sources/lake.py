@@ -338,6 +338,7 @@ class LakeTable:
         manifest: list[dict],
         read_schema_id: int,
         keep_tombstones: bool = False,
+        n_partitions: int | None = None,
     ) -> DataFrame:
         """Merge-on-read resolution: base data files ∪ delta files → max-LSN
         winner per key, delete winners invisible (Iceberg v2 equality-delete
@@ -389,8 +390,13 @@ class LakeTable:
             union = union.unionByName(
                 self._read_manifest(overlay, read_schema_id, extra_cols=("op",))
             )
+        # n_partitions: compact() pins the resolution's exchange to
+        # n_buckets on keyhash tables so its rewrites skip their own
+        # repartition; plain reads leave it None (dedup parallelism should
+        # track shuffle.partitions, not bucket count)
         winners = dedup_max_lsn(
-            union, key=self.key, lsn_col=self.lsn_col, strategy="agg"
+            union, key=self.key, lsn_col=self.lsn_col, strategy="agg",
+            n_partitions=n_partitions,
         )
         if not keep_tombstones:
             winners = winners.filter(F.col("op") != F.lit("D")).drop("op")
@@ -951,13 +957,18 @@ class LakeTable:
         kept = [e for e in manifest if e["bucket"] not in dirty]
         sub = [e for e in manifest if e["bucket"] in dirty]
 
+        # keyhash: pin the resolution's dedup exchange to n_buckets so both
+        # rewrites below reuse it as the bucket layout (zero repartitions)
+        n_aligned = self.aligned_partitions()
         winners = self._resolve(
-            sub, self.meta["current_schema_id"], keep_tombstones=True
+            sub, self.meta["current_schema_id"], keep_tombstones=True,
+            n_partitions=n_aligned,
         ).persist()
         try:
             live = winners.filter(F.col("op") != F.lit("D")).select(*self.column_names)
             new_entries = self._write_data_files(
-                self._with_bucket(live), f"snap-{snapshot_id}"
+                self._with_bucket(live), f"snap-{snapshot_id}",
+                pre_partitioned=n_aligned is not None,
             )
             tombs = winners.filter(F.col("op") == F.lit("D"))
             if tombstone_retention_lsn is not None:
@@ -966,6 +977,7 @@ class LakeTable:
                 self._with_bucket(tombs.select(*self.column_names, "op")),
                 f"tomb-{snapshot_id}",
                 kind="tombstone",
+                pre_partitioned=n_aligned is not None,
             )
         finally:
             winners.unpersist()
