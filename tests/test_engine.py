@@ -77,6 +77,115 @@ def test_replay_resume_skips_committed(spark, tmp_path, feed):
     assert final != state_mid  # later batches actually applied
 
 
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _crash_nth(obj, attr, n):
+    """Make obj.attr raise _InjectedCrash on its n-th invocation (instance
+    patch — a reload from disk gets the clean class method back, exactly
+    like a process restart)."""
+    orig = getattr(obj, attr)
+    calls = {"n": 0}
+
+    def wrapper(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == n:
+            raise _InjectedCrash(f"{attr} call {n}")
+        return orig(*a, **k)
+
+    setattr(obj, attr, wrapper)
+
+
+def _batch_his(spark, paths):
+    return [
+        int(spark.read.parquet(p).agg(F.max("lsn")).first()[0]) for p in paths
+    ]
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+@pytest.mark.parametrize(
+    "attr,call",
+    [
+        # batch 2: data/delta files fully staged, commit never starts
+        ("_commit", 2),
+        # batch 2: mid-commit — manifest segments already swapped in, but
+        # the metadata pointer (THE commit, per Iceberg semantics) is not
+        ("_write_metadata", 2),
+    ],
+)
+def test_replay_crash_at_commit_boundaries_is_exactly_once(
+    spark, tmp_path, feed, write_mode, attr, call
+):
+    """North-rule exactly-once under crash: kill the replay before or during
+    any batch's commit, then restart.  (a) The on-disk table must load and
+    show ONLY fully-committed batches — the watermark sits exactly on a
+    batch boundary and the visible state equals the LSN-prefix oracle
+    (atomicity: data files and manifest segments written by the dead
+    attempt are invisible orphans until the metadata pointer swaps).
+    (b) A resumed replay of ALL batches skips the committed prefix and
+    converges to the uninterrupted final state."""
+    paths = write_change_files(feed, str(tmp_path / "feed"), n_batches=3)
+    his = _batch_his(spark, paths)
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        TABLE_SCHEMA,
+        key=TRANSCRIPT_KEY,
+        n_buckets=8,
+        write_mode=write_mode,
+    )
+    _crash_nth(table, attr, call)
+    with pytest.raises(_InjectedCrash):
+        CdcEngine(table).replay(paths)
+
+    # (a) crash atomicity, observed through a cold restart
+    table2 = LakeTable.load(spark, table.root)
+    wm = table2.committed_offset_end()
+    assert wm in {-1, *his}, f"watermark {wm} is not a batch boundary"
+    feed_rows = feed.collect()
+    assert _state_dict(table2) == _oracle([r for r in feed_rows if r["lsn"] <= wm])
+
+    # (b) resume: committed prefix skips, tail applies, state converges
+    metrics = CdcEngine(table2).replay(paths)
+    n_done = sum(1 for hi in his if hi <= wm)
+    assert [m["skipped"] for m in metrics] == [True] * n_done + [False] * (
+        len(paths) - n_done
+    )
+    assert _state_dict(table2) == _oracle(feed_rows)
+
+
+def test_concurrent_replay_crash_mid_commit_resumes(spark, tmp_path, feed):
+    """Same contract through the concurrent-staging MoR path: batches 2-4's
+    delta files are already staged (possibly all of them — staging runs
+    ahead of the serial commit loop) when batch 2's commit dies.  Staged
+    but uncommitted delta files must stay invisible, and the resumed
+    concurrent replay must discard/re-stage without double-applying."""
+    paths = write_change_files(feed, str(tmp_path / "feed"), n_batches=4)
+    his = _batch_his(spark, paths)
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        TABLE_SCHEMA,
+        key=TRANSCRIPT_KEY,
+        n_buckets=8,
+        write_mode="mor",
+    )
+    _crash_nth(table, "_write_metadata", 2)
+    with pytest.raises(_InjectedCrash):
+        CdcEngine(table).replay(paths, concurrency=3)
+
+    table2 = LakeTable.load(spark, table.root)
+    wm = table2.committed_offset_end()
+    assert wm == his[0]  # serial LSN-ordered commits: exactly batch 1 landed
+    feed_rows = feed.collect()
+    assert _state_dict(table2) == _oracle([r for r in feed_rows if r["lsn"] <= wm])
+
+    metrics = CdcEngine(table2).replay(paths, concurrency=3)
+    assert [m["skipped"] for m in metrics] == [True, False, False, False]
+    assert _state_dict(table2) == _oracle(feed_rows)
+
+
 def test_streaming_availablenow_end_to_end(spark, tmp_path, feed):
     write_change_files(feed, str(tmp_path / "stream_in"), n_batches=3)
     table = _mk_table(spark, tmp_path)
