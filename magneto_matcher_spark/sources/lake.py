@@ -64,6 +64,14 @@ _SIMPLE_TYPES = {
 }
 
 
+#: Iceberg-safe type promotions (Iceberg spec "Schema Evolution"): widening
+#: only, field ID preserved, metadata-only — no data rewrite.  Old files keep
+#: their narrow physical type; the read path casts them up per field ID
+#: (``_read_manifest``).  Keys are Spark ``simpleString`` names (long is
+#: "bigint").
+SAFE_PROMOTIONS = {("int", "bigint"), ("float", "double")}
+
+
 def _type_to_str(dt: T.DataType) -> str:
     return dt.simpleString()
 
@@ -1090,12 +1098,24 @@ class LakeTable:
         renames: dict[str, str] | None = None,
         adds: list[tuple[str, str]] | None = None,
         summary: dict | None = None,
+        promotes: dict[str, str] | None = None,
     ) -> int:
         """Schema evolution by field ID — renames keep the ID (old files keep
         serving the column under its old on-disk name), adds mint new IDs (old
-        files serve NULL).  No data rewrite (Iceberg evolve semantics)."""
+        files serve NULL), ``promotes`` widens a column's type in place
+        (``SAFE_PROMOTIONS`` only: int→long, float→double — old files keep
+        the narrow physical type and are cast up at read).  No data rewrite
+        (Iceberg evolve semantics).
+
+        Promotion of key or LSN columns is REFUSED: unlike Iceberg's spec
+        bucket transform (which hashes int as long precisely so promotion
+        can't move rows), this table's keyhash transform uses Spark's
+        ``F.hash``, whose int32 and int64 hashes differ — promoting a key
+        column would silently re-bucket every existing row.  ``promotes``
+        keys refer to post-rename names."""
         renames = renames or {}
         adds = adds or []
+        promotes = promotes or {}
         cur_fields = self.current_schema_meta["fields"]
         names = {f["name"] for f in cur_fields}
         for old in renames:
@@ -1117,6 +1137,28 @@ class LakeTable:
         new_fields = [
             {**f, "name": renames.get(f["name"], f["name"])} for f in cur_fields
         ]
+        if promotes:
+            by_name = {f["name"]: f for f in new_fields}
+            protected = set(self.key) | {self.lsn_col}
+            promotes = dict(promotes)  # canonicalized in place for the summary
+            for name, new_type in promotes.items():
+                f = by_name.get(name)
+                if f is None:
+                    raise KeyError(f"promote target {name!r} not in schema")
+                if name in protected:
+                    raise ValueError(
+                        f"cannot promote key/LSN column {name!r}: the keyhash "
+                        f"bucket transform is not width-stable (see evolve docs)"
+                    )
+                # canonicalize to simpleString ("long" and "bigint" both OK in)
+                new_type_c = _type_to_str(_str_to_type(new_type))
+                if (f["type"], new_type_c) not in SAFE_PROMOTIONS:
+                    raise ValueError(
+                        f"unsafe promotion {name!r}: {f['type']} -> {new_type_c} "
+                        f"(allowed: {sorted(SAFE_PROMOTIONS)})"
+                    )
+                f["type"] = new_type_c
+                promotes[name] = new_type_c
         last_id = self.meta["last_field_id"]
         for name, type_str in adds:
             last_id += 1
@@ -1132,6 +1174,7 @@ class LakeTable:
         s = {
             "schema-renames": json.dumps(renames),
             "schema-adds": json.dumps([list(a) for a in adds]),
+            "schema-promotes": json.dumps(promotes),
         }
         s.update(summary or {})
         return self._commit(

@@ -29,10 +29,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from magneto_matcher_spark.plans.apply import dedup_max_lsn, normalize_payload
-from magneto_matcher_spark.sources.lake import LakeTable
+from magneto_matcher_spark.sources.lake import SAFE_PROMOTIONS, LakeTable
 
 #: engine-internal columns that are never payload
 _SYSTEM_COLS = {"op"}
+
+
+def _arrow_type_str(t) -> str | None:
+    """Parquet/arrow type → Spark simpleString for the primitive types the
+    transcripts schema uses; None for anything unclassified (callers must
+    treat None as 'not provably identical' and take the safe path)."""
+    import pyarrow as pa
+
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return None
 
 
 class BatchMetrics(dict):
@@ -128,7 +155,7 @@ class CdcEngine:
         incoming = [c for c in batch.columns if c not in _SYSTEM_COLS]
         current = self.table.column_names
         if set(incoming) == set(current):
-            return batch
+            return self._resolve_type_drift(batch)
 
         renames, adds = self.drift_resolver(batch, self.table)
         for old, new in renames.items():
@@ -138,6 +165,7 @@ class CdcEngine:
                 adds=adds,
                 summary={"drift-renames": json.dumps(renames)},
             )
+        batch = self._resolve_type_drift(batch)
         current = self.table.column_names
         for name in current:
             if name not in batch.columns:
@@ -148,6 +176,55 @@ class CdcEngine:
                 )
                 batch = batch.withColumn(name, F.lit(None).cast(field_type))
         return batch.select(*current, *sorted(_SYSTEM_COLS & set(batch.columns)))
+
+    def _resolve_type_drift(self, batch: DataFrame) -> DataFrame:
+        """Align column TYPES once names are aligned (axis-B drift is not
+        just renames/adds — producers also widen numeric columns).
+
+        - batch column WIDER than the table's (int→long, float→double):
+          Iceberg-style type promotion — metadata-only ``evolve(promotes=…)``,
+          field ID kept, old files cast up at read;
+        - batch column NARROWER: cast the batch up to the table type (the
+          table never narrows);
+        - any other mismatch: fail loud — unsafe drift (e.g. int→string)
+          must not be guessed at;
+        - key/LSN columns are exempt: ``normalize_payload`` casts them to
+          their canonical types, and the table refuses to promote them
+          (keyhash width stability — see ``LakeTable.evolve``).
+
+        Driver-side schema comparison only; no job runs when types match."""
+        protected = set(self.table.key) | {self.table.lsn_col}
+        table_types = {
+            f["name"]: f["type"]
+            for f in self.table.current_schema_meta["fields"]
+            if f["name"] not in protected
+        }
+        batch_types = {
+            f.name: f.dataType.simpleString() for f in batch.schema.fields
+        }
+        promotes: dict[str, str] = {}
+        upcasts: dict[str, str] = {}
+        for name, tt in table_types.items():
+            bt = batch_types.get(name)
+            if bt is None or bt == tt:
+                continue
+            if (tt, bt) in SAFE_PROMOTIONS:
+                promotes[name] = bt
+            elif (bt, tt) in SAFE_PROMOTIONS:
+                upcasts[name] = tt
+            else:
+                raise ValueError(
+                    f"incompatible type drift on column {name!r}: batch has "
+                    f"{bt}, table has {tt} — not a safe widening either way"
+                )
+        if promotes:
+            self.table.evolve(
+                promotes=promotes,
+                summary={"drift-promotes": json.dumps(promotes)},
+            )
+        for name, tt in upcasts.items():
+            batch = batch.withColumn(name, F.col(name).cast(tt))
+        return batch
 
     # ------------- batch apply -------------
 
@@ -359,14 +436,28 @@ class CdcEngine:
 
         if self.table.meta.get("write_mode", "cow") != "mor":
             return False
-        expect = set(self.table.column_names) | _SYSTEM_COLS
+        expect_names = set(self.table.column_names) | _SYSTEM_COLS
+        expect_types = {
+            f["name"]: f["type"]
+            for f in self.table.current_schema_meta["fields"]
+        }
         for path in batch_paths:
             files = _glob.glob(os.path.join(path, "*.parquet"))
             if not files:
                 continue
-            names = set(pq.ParquetFile(files[0]).metadata.schema.names)
-            if names != expect:
-                return False  # drift present → serialize
+            schema = pq.read_schema(files[0])
+            if set(schema.names) != expect_names:
+                return False  # name drift present → serialize
+            for field in schema:
+                want = expect_types.get(field.name)
+                if want is None:  # system col (op)
+                    continue
+                got = _arrow_type_str(field.type)
+                # type drift (widened ints, etc.) or an arrow type this
+                # check can't classify: serialize through the drift path,
+                # which promotes/upcasts/fails-loud per column
+                if got != want:
+                    return False
         return True
 
     def _replay_concurrent(

@@ -245,6 +245,98 @@ def test_drift_batch_auto_evolves(spark, tmp_path):
     assert state.count() == _count_keys(drifted)
 
 
+def _latency_schema(int_type):
+    return T.StructType(
+        list(CHANGE_FEED_SCHEMA.fields) + [T.StructField("latency_ms", int_type)]
+    )
+
+
+def _lat_row(lsn, conv, latency):
+    import datetime
+
+    return (
+        lsn, "I", conv, 0, "user", f"t{lsn}", None,
+        datetime.datetime(2024, 1, 1), latency,
+    )
+
+
+def test_drift_type_widening_auto_promotes(spark, tmp_path):
+    """Axis-B type drift: the producer widens latency_ms int→long
+    mid-stream.  The engine must promote the table (metadata-only,
+    Iceberg-safe), keep old narrow files serving, accept values beyond
+    int32, and cast a later narrow batch back up."""
+    base = T.StructType(
+        list(TABLE_SCHEMA.fields) + [T.StructField("latency_ms", T.IntegerType())]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), base, key=TRANSCRIPT_KEY, n_buckets=8
+    )
+    engine = CdcEngine(table)
+    engine.apply_batch(
+        spark.createDataFrame([_lat_row(1, "c1", 120)], _latency_schema(T.IntegerType())),
+        source_desc="narrow",
+    )
+    engine.apply_batch(
+        spark.createDataFrame(
+            [_lat_row(2, "c2", 1 << 40)], _latency_schema(T.LongType())
+        ),
+        source_desc="wide",  # triggers the promotion
+    )
+    engine.apply_batch(
+        spark.createDataFrame([_lat_row(3, "c3", 7)], _latency_schema(T.IntegerType())),
+        source_desc="narrow-again",  # upcast, no further evolution
+    )
+    assert dict(table.read().dtypes)["latency_ms"] == "bigint"
+    state = {r["conv_id"]: r["latency_ms"] for r in table.read().collect()}
+    assert state == {"c1": 120, "c2": 1 << 40, "c3": 7}
+    promotes = [
+        s["summary"].get("schema-promotes")
+        for s in table.snapshots()
+        if s["summary"].get("schema-promotes") not in (None, "{}")
+    ]
+    assert promotes == ['{"latency_ms": "bigint"}']  # exactly one evolution
+
+
+def test_drift_incompatible_type_fails_loud(spark, tmp_path):
+    base = T.StructType(
+        list(TABLE_SCHEMA.fields) + [T.StructField("latency_ms", T.IntegerType())]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), base, key=TRANSCRIPT_KEY, n_buckets=8
+    )
+    bad = spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "t", None, None, "fast")],
+        _latency_schema(T.StringType()),
+    )
+    with pytest.raises(ValueError, match="incompatible type drift"):
+        CdcEngine(table).apply_batch(bad, source_desc="bad")
+
+
+def test_concurrent_replay_serializes_on_type_drift(spark, tmp_path):
+    """A name-identical but type-widened feed must NOT take the concurrent
+    staging path (which bypasses drift resolution): the parquet-footer gate
+    detects the type drift, the replay serializes, promotes, and converges."""
+    base = T.StructType(
+        list(TABLE_SCHEMA.fields) + [T.StructField("latency_ms", T.IntegerType())]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), base, key=TRANSCRIPT_KEY,
+        n_buckets=8, write_mode="mor",
+    )
+    wide_feed = spark.createDataFrame(
+        [_lat_row(i, f"c{i}", (1 << 40) + i) for i in range(1, 9)],
+        _latency_schema(T.LongType()),
+    )
+    paths = write_change_files(wide_feed, str(tmp_path / "feed"), n_batches=2)
+    engine = CdcEngine(table)
+    assert engine._can_replay_concurrently(paths) is False
+    metrics = engine.replay(paths, concurrency=3)
+    assert all(not m["skipped"] for m in metrics)
+    assert dict(table.read().dtypes)["latency_ms"] == "bigint"
+    assert table.read().count() == 8
+    assert table.read().agg(F.min("latency_ms")).first()[0] == (1 << 40) + 1
+
+
 def _count_keys(feed):
     rows = feed.collect()
     state = {}

@@ -161,6 +161,46 @@ def test_evolve_rejects_bad_ops(table):
         table.evolve(adds=[("text", "string")])
 
 
+def test_evolve_promote_widens_in_place_no_rewrite(spark, table):
+    """Iceberg-safe type promotion: int→long is metadata-only (field ID and
+    data files untouched); old narrow files are cast up at read, and values
+    beyond int32 range land after the promotion."""
+    table.evolve(adds=[("latency_ms", "int")])
+    narrow = T.StructType(
+        list(CHANGE_FEED_SCHEMA.fields) + [T.StructField("latency_ms", T.IntegerType())]
+    )
+    b1 = spark.createDataFrame([_ev(1, "I", "c1", 0) + (120,)], narrow)
+    table.merge(dedup_max_lsn(b1))
+    files_before = {e["path"] for e in table.manifest(table.current_snapshot())}
+
+    table.evolve(promotes={"latency_ms": "long"})
+    files_after = {e["path"] for e in table.manifest(table.current_snapshot())}
+    assert files_before == files_after  # no data rewrite
+    assert dict(table.read().dtypes)["latency_ms"] == "bigint"
+    assert table.read().collect()[0]["latency_ms"] == 120  # old file cast up
+    # "long" in, canonical simpleString out
+    assert table.summary()["schema-promotes"] == '{"latency_ms": "bigint"}'
+
+    wide = T.StructType(
+        list(CHANGE_FEED_SCHEMA.fields) + [T.StructField("latency_ms", T.LongType())]
+    )
+    b2 = spark.createDataFrame([_ev(2, "I", "c2", 0) + (1 << 40,)], wide)
+    table.merge(dedup_max_lsn(b2))
+    state = {r["conv_id"]: r["latency_ms"] for r in table.read().collect()}
+    assert state == {"c1": 120, "c2": 1 << 40}
+
+
+def test_evolve_promote_rejects_unsafe_and_protected(table):
+    with pytest.raises(KeyError):
+        table.evolve(promotes={"nope": "long"})
+    with pytest.raises(ValueError):  # string→long is not a widening
+        table.evolve(promotes={"text": "long"})
+    with pytest.raises(ValueError):  # key column: keyhash is not width-stable
+        table.evolve(promotes={"turn_idx": "long"})
+    with pytest.raises(ValueError):  # LSN column, same reason
+        table.evolve(promotes={"lsn": "double"})
+
+
 def test_committed_offset_watermark(spark, table):
     assert table.committed_offset_end() == -1
     b1 = spark.createDataFrame([_ev(1, "I", "c1", 0)], CHANGE_FEED_SCHEMA)
