@@ -1990,11 +1990,14 @@ def r4_rerank_regroup(spark, sf_dir):
     ),
     winners AS (
       SELECT f.*, CASE WHEN f.lsn > mid.m THEN 'b2' END AS session_tag,
+             CAST(CASE WHEN f.lsn > mid.m
+                       THEN 1099511627776 + (f.lsn % 1000)
+                       ELSE f.lsn % 1000 END AS BIGINT) AS hits,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY lsn DESC) AS rn
       FROM feed f CROSS JOIN mid
     )
-    SELECT user_id, event_type, lsn, value, session_tag
+    SELECT user_id, event_type, lsn, value, session_tag, hits
     FROM winners WHERE rn = 1 AND op <> 'D'
     """,
 )
@@ -2004,10 +2007,13 @@ def cdc_schema_drift(spark, sf_dir):
     cleaned-name equality cannot catch, so ``matcher_drift_resolver`` must
     rank `val_num`→`value` via the strsim/value-profile cascade (ref
     magneto.py:189-272 driving schema evolution) — plus a brand-new
-    `session_tag` column (→ schema add).  Final state must equal a plain
-    max-LSN replay over the union with the add back-filled as NULL for
-    batch-1 winners (SURVEY.md §3.4).  Batches split by LSN range (the
-    change-feed contract: cross-batch LSN order per key)."""
+    `session_tag` column (→ schema add) — plus `hits` arriving WIDENED
+    int→long with values beyond int32 (→ Iceberg-safe type promotion,
+    metadata-only; batch-1's narrow files are cast up at read).  Final
+    state must equal a plain max-LSN replay over the union with the add
+    back-filled as NULL for batch-1 winners (SURVEY.md §3.4).  Batches
+    split by LSN range (the change-feed contract: cross-batch LSN order
+    per key)."""
     import tempfile as _tf
 
     from pyspark.sql import types as T
@@ -2019,11 +2025,17 @@ def cdc_schema_drift(spark, sf_dir):
     feed = _events_feed(spark, sf_dir).filter(F.col("user_id") < 40)
     b = feed.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
     mid = (b["lo"] + b["hi"]) // 2
-    batch1 = feed.filter(F.col("lsn") <= mid)
+    batch1 = feed.filter(F.col("lsn") <= mid).withColumn(
+        "hits", F.pmod(F.col("lsn"), F.lit(1000)).cast("int")
+    )
     batch2 = (
         feed.filter(F.col("lsn") > mid)
         .withColumnRenamed("value", "val_num")
         .withColumn("session_tag", F.lit("b2"))
+        .withColumn(
+            "hits",
+            (F.lit(1 << 40) + F.pmod(F.col("lsn"), F.lit(1000))).cast("long"),
+        )
     )
 
     schema = T.StructType(
@@ -2032,6 +2044,7 @@ def cdc_schema_drift(spark, sf_dir):
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
+            T.StructField("hits", T.IntegerType()),
         ]
     )
     root = _tf.mkdtemp(prefix="drift_lake_")
@@ -2045,7 +2058,7 @@ def cdc_schema_drift(spark, sf_dir):
     engine.apply_batch(batch2, source_desc="b2")
     out = table.read().select(
         "user_id", "event_type", "lsn", F.round("value", 6).alias("value"),
-        "session_tag"
+        "session_tag", "hits"
     )
     # materialize (metadata-sized) and remove the temp lake BEFORE returning
     # — a lazy frame over the dir would leak one populated lake tree per
