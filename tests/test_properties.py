@@ -162,3 +162,84 @@ def test_bucket_transform_equivalence(spark, events, write_mode):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=_events,
+    wide_from=st.integers(0, 12),
+    n_batches=st.integers(1, 4),
+    write_mode=st.sampled_from(["cow", "mor"]),
+)
+def test_type_promotion_timing_invariance(
+    spark, events, wide_from, n_batches, write_mode
+):
+    """Type widening is timing-invariant: whichever batch first delivers the
+    widened column (int→long `hits`, values beyond int32), the final state
+    equals the sequential oracle and later narrow-typed batches upcast
+    cleanly.  Exercises the mixed-schema-id read path (old narrow files cast
+    up per field ID) under both merge modes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from magneto_matcher_spark.schemas import TRANSCRIPT_KEY
+    from magneto_matcher_spark.sources.lake import LakeTable
+    from magneto_matcher_spark.streaming.engine import CdcEngine
+
+    rows = _to_rows(events)
+
+    def hit(lsn):
+        return lsn if lsn < wide_from else (1 << 40) + lsn
+
+    base_fields = list(CHANGE_FEED_SCHEMA.fields)
+    narrow_schema = T.StructType(
+        base_fields + [T.StructField("hits", T.IntegerType())]
+    )
+    wide_schema = T.StructType(
+        base_fields + [T.StructField("hits", T.LongType())]
+    )
+    table_schema = T.StructType(
+        [f for f in base_fields if f.name != "op"]
+        + [T.StructField("hits", T.IntegerType())]
+    )
+    root = tempfile.mkdtemp(prefix="promo_prop_")
+    try:
+        table = LakeTable.create(
+            spark, f"{root}/t", table_schema, key=TRANSCRIPT_KEY,
+            n_buckets=4, write_mode=write_mode,
+        )
+        engine = CdcEngine(table)
+        span = max(1, (len(rows) + n_batches - 1) // n_batches)
+        for b in range(n_batches):
+            chunk = rows[b * span : (b + 1) * span]
+            if not chunk:
+                continue
+            # one parquet batch has ONE physical type: the producer widens
+            # the whole batch as soon as it contains any wide row
+            wide = any(r[0] >= wide_from for r in chunk)
+            schema = wide_schema if wide else narrow_schema
+            engine.apply_batch(
+                spark.createDataFrame(
+                    [r + (hit(r[0]),) for r in chunk], schema
+                ),
+                source_desc=f"b{b}",
+            )
+        expected = {
+            k: (text, lsn, hit(lsn))
+            for k, (text, lsn) in _oracle(rows).items()
+        }
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"], r["hits"])
+            for r in table.read().collect()
+        }
+        assert got == expected
+        if any(r[0] >= wide_from for r in rows):
+            assert dict(table.read().dtypes)["hits"] == "bigint"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
