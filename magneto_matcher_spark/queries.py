@@ -1001,17 +1001,24 @@ def text_token_count(spark, sf_dir):
 def text_quality_score(spark, sf_dir):
     from magneto_matcher_spark.operators.textops import (
         quality_score_expr,
-        token_count_expr,
+        tokens_expr,
     )
 
-    # token_count_expr, NOT size(split(...)): split of a whitespace-only
-    # string yields [""] (size 1), so that guard never fires — the oracle's
-    # len(toks) > 0 excludes such rows and the Spark side must too
-    docs = _t(spark, sf_dir, "documents").filter(
-        (F.length("text") > 0) & (token_count_expr(F.col("text")) > 0)
+    # the token array is projected ONCE and shared by the emptiness guard
+    # (tokens_expr, NOT size(split(...)): split of a whitespace-only string
+    # yields [""] (size 1), so that guard never fires — the oracle's
+    # len(toks) > 0 excludes such rows and the Spark side must too) and by
+    # the score — one regex split per row instead of four
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("_toks", tokens_expr(F.col("text")))
+        .filter((F.length("text") > 0) & (F.size("_toks") > 0))
     )
     return docs.select(
-        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("quality")
+        "doc_id",
+        F.round(
+            quality_score_expr(F.col("text"), toks=F.col("_toks")), 6
+        ).alias("quality"),
     )
 
 
@@ -1248,13 +1255,19 @@ def pipeline_clean_dedup_quality(spark, sf_dir):
     per-language counts — the chained shape a 100 TB corpus pass runs (each
     stage is a filter/hash-agg/semi-join; one shuffle per agg, no collect)."""
     from magneto_matcher_spark.operators.dedup import exact_dedup
-    from magneto_matcher_spark.operators.textops import quality_score_expr
-
-    from magneto_matcher_spark.operators.textops import token_count_expr
+    from magneto_matcher_spark.operators.textops import (
+        quality_score_expr,
+        tokens_expr,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    kept = docs.withColumn("quality", quality_score_expr(F.col("text"))).filter(
-        (F.col("quality") >= 0.75) & (token_count_expr(F.col("text")) > 0)
+    kept = (
+        docs.withColumn("_toks", tokens_expr(F.col("text")))
+        .withColumn(
+            "quality", quality_score_expr(F.col("text"), toks=F.col("_toks"))
+        )
+        .filter((F.col("quality") >= 0.75) & (F.size("_toks") > 0))
+        .drop("_toks")
     )
     deduped = exact_dedup(kept)
     return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
