@@ -142,12 +142,25 @@ def write_change_files(
 
     Single pass: partitioned write by batch id (a per-batch filter loop would
     re-run the whole generation pipeline once per batch).  Each batch is
-    sub-split into ``files_per_batch`` files — one file per batch would cap
+    sub-split into ~``files_per_batch`` files — one file per batch would cap
     the replay's scan parallelism at the file's row-group count (measured: a
     single straggler task dominates every batch apply).
+
+    Delivery-order contract (what a real WAL-shipping producer provides):
+    every file covers a CONTIGUOUS LSN sub-range (``repartitionByRange`` on
+    the LSN, not mod-striping), and file mtimes are stamped strictly
+    increasing in LSN order.  The Structured Streaming file source admits
+    files in mtime order, so admission at ANY ``maxFilesPerTrigger`` grain —
+    even one that cuts across batch directories — is LSN-monotone, which is
+    exactly the precondition the engine's exactly-once watermark needs
+    (a micro-batch whose max LSN ≤ the committed watermark is a redelivery
+    by contract, and is skipped).  Mod-striped files break this: each file
+    then spans the whole batch range, so a trigger split mid-batch advances
+    the watermark past rows still sitting in unadmitted sibling files.
     """
     import os
     import shutil
+    import time
 
     bounds = feed.select(
         F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
@@ -157,7 +170,6 @@ def write_change_files(
         return []  # empty feed: no batches (min/max are null)
     span = (hi - lo + 1 + n_batches - 1) // n_batches
     batch_id = F.floor((F.col(lsn_col) - lo) / span).cast("int")
-    sub = F.pmod(F.col(lsn_col), F.lit(files_per_batch)).cast("int")
     # rerun support (matching the staged write's mode('overwrite')): clear
     # prior batch dirs so a re-generation can neither crash the rename
     # (ENOTEMPTY) nor leave stale batch_* dirs from a larger previous run
@@ -172,9 +184,14 @@ def write_change_files(
             if _re.fullmatch(r"batch_\d{5}", d):
                 shutil.rmtree(os.path.join(out_dir, d))
     staged = f"{out_dir}/_staged"
+    # repartitionByRange: output partition p covers an LSN range strictly
+    # below partition p+1's, and the part-file name embeds p — so a
+    # name-sorted walk of each batch dir IS the LSN order of its files.
+    # (A range partition straddling a batch boundary writes one contiguous
+    # file into each side's dir; order still holds.)
     (
         feed.withColumn("_batch", batch_id)
-        .repartition(n_batches * files_per_batch, F.col("_batch"), sub)
+        .repartitionByRange(n_batches * files_per_batch, F.col(lsn_col))
         .write.partitionBy("_batch")
         .mode("overwrite")
         .parquet(staged)
@@ -186,4 +203,17 @@ def write_change_files(
         if os.path.isdir(src):
             os.rename(src, dst)
             paths.append(dst)
+    # stamp mtimes strictly increasing in LSN order (batch-major, then
+    # part-id within the batch) so the streaming file source's mtime-ordered
+    # admission replays the WAL order at any trigger grain
+    all_files = [
+        os.path.join(p, fn)
+        for p in paths
+        for fn in sorted(os.listdir(p))
+        if fn.endswith(".parquet") and not fn.startswith(".")
+    ]
+    base = time.time() - 2.0 * len(all_files) - 2.0
+    for i, f in enumerate(all_files):
+        t = base + 2.0 * i
+        os.utime(f, (t, t))
     return paths

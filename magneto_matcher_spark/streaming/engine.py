@@ -575,6 +575,7 @@ class CdcEngine:
         checkpoint_dir: str,
         schema=None,
         trigger_once: bool = True,
+        max_files_per_trigger: int | None = None,
     ):
         """Structured Streaming file source → foreachBatch apply.
 
@@ -582,11 +583,32 @@ class CdcEngine:
         stops (the test/bench mode); drop ``trigger_once`` for continuous
         tailing.  Exactly-once across restarts comes from the snapshot-summary
         watermark even if the checkpoint redelivers a batch.
+        ``max_files_per_trigger`` bounds micro-batch admission (respected by
+        availableNow since Spark 3.3) — the lever that sets the streaming
+        micro-batch grain to match a replay's batch split.
+
+        Delivery-order caveat for backfill drains: the file source admits
+        files in MODIFICATION-TIME order, and the engine's exactly-once
+        watermark treats any batch whose max LSN is at-or-below the
+        committed watermark as a redelivery (skip).  A pre-existing feed
+        whose files carry tied/shuffled mtimes, or whose files interleave
+        LSN ranges (mod-striped layouts), can therefore be admitted out of
+        LSN order and lose late-admitted ranges to the skip.  A live tail
+        satisfies this naturally (files appear in write order);
+        ``write_change_files`` satisfies it by construction (contiguous
+        range-partitioned files, mtimes stamped in LSN order — see its
+        docstring); for foreign backfills either restamp mtimes the same
+        way or use ``CdcEngine.replay`` whose explicit path list IS the
+        order.  Partial overlap (a micro-batch straddling the watermark) is
+        safe: the max-LSN MERGE is idempotent, re-applied old rows lose to
+        the incumbent.
         """
         spark = self.table.spark
         reader = spark.readStream
         if schema is not None:
             reader = reader.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
         stream = reader.option("recursiveFileLookup", "true").parquet(input_dir)
 
         def _apply(df: DataFrame, batch_id: int) -> None:

@@ -199,6 +199,27 @@ def test_streaming_availablenow_end_to_end(spark, tmp_path, feed):
     assert table.committed_offset_end() == 2999
 
 
+def test_streaming_misaligned_trigger_grain(spark, tmp_path, feed):
+    """maxFilesPerTrigger that cuts ACROSS batch-dir boundaries must not lose
+    data: write_change_files emits contiguous-LSN files with LSN-ordered
+    mtimes, so mtime-ordered admission is LSN-monotone at any grain and the
+    exactly-once watermark only ever skips true redeliveries."""
+    write_change_files(
+        feed, str(tmp_path / "mis_in"), n_batches=3, files_per_batch=4
+    )
+    table = _mk_table(spark, tmp_path)
+    engine = CdcEngine(table)
+    engine.run_streaming(
+        str(tmp_path / "mis_in"),
+        str(tmp_path / "mis_ckpt"),
+        schema=CHANGE_FEED_SCHEMA,
+        max_files_per_trigger=3,  # deliberately coprime to files_per_batch
+    )
+    applied = [m for m in engine.metrics_log if not m.get("skipped")]
+    assert sum(m["events_in"] for m in applied) == feed.count()
+    assert _state_dict(table) == _oracle(feed.collect())
+
+
 def test_streaming_restart_after_checkpoint(spark, tmp_path, feed):
     """availableNow drains batch 1; new files arrive; second run drains them.
     Snapshot-summary watermark + checkpoint both survive the restart."""
