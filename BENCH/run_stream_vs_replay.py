@@ -86,11 +86,19 @@ def main():
             f"{work}/warmfeed", f"{work}/warm_ckpt", schema=CHANGE_FEED_SCHEMA
         )
 
-        results: dict[str, list[float]] = {"stream": [], "replay": []}
+        # three grains: stream capped at ~the replay's per-dir file count
+        # (finest — ragged range-partitioned file counts make it admit MORE
+        # micro-batches than the replay's n_batches), stream uncapped
+        # (availableNow free grain — coarsest), and the replay driver
+        # (exactly n_batches).  Bracketing the grain separates
+        # fixed-per-commit cost from true harness tax.
+        kinds = ("stream", "stream_auto", "replay")
+        results: dict[str, list[float]] = {k: [] for k in kinds}
+        micro: dict[str, int] = {}
         final_counts: dict[str, int] = {}
         run_idx = 0
         for _rep in range(2):
-            for kind in ("stream", "replay"):
+            for kind in kinds:
                 run_idx += 1
                 table = mk_table(f"{kind}{run_idx}")
                 engine = mk_engine(table)
@@ -101,54 +109,71 @@ def main():
                         schema=CHANGE_FEED_SCHEMA,
                         max_files_per_trigger=files_per_batch,
                     )
+                elif kind == "stream_auto":
+                    engine.run_streaming(
+                        f"{work}/feed", f"{work}/ckpt{run_idx}",
+                        schema=CHANGE_FEED_SCHEMA,
+                    )
                 else:
                     engine.replay(paths)
                 dt = time.time() - t0
                 results[kind].append(dt)
                 applied = [m for m in engine.metrics_log if not m.get("skipped")]
                 assert sum(m["events_in"] for m in applied) == n_events, kind
+                micro[kind] = len(applied)
                 final_counts[kind] = table.read().count()
                 print(json.dumps({"kind": kind, "wall_s": round(dt, 2),
                                   "micro_batches": len(applied)}), flush=True)
 
-        assert final_counts["stream"] == final_counts["replay"], final_counts
+        assert len(set(final_counts.values())) == 1, final_counts
         best = {k: min(v) for k, v in results.items()}
         eps = {k: n_events / v for k, v in best.items()}
-        overhead = best["stream"] / best["replay"] - 1.0
+        overhead = {k: best[k] / best["replay"] - 1.0
+                    for k in ("stream", "stream_auto")}
         out = {
             "n_events": n_events,
             "n_batches": n_batches,
             "best_wall_s": {k: round(v, 2) for k, v in best.items()},
             "events_per_sec": {k: round(v, 1) for k, v in eps.items()},
+            "micro_batches": micro,
             "all_reps_s": {k: [round(x, 2) for x in v] for k, v in results.items()},
-            "stream_overhead_frac": round(overhead, 3),
+            "stream_overhead_frac": {k: round(v, 3) for k, v in overhead.items()},
             "final_rows_equal": True,
         }
         print(json.dumps(out), flush=True)
 
         md = f"""# BENCH/STREAM_VS_REPLAY.md — Structured Streaming vs batch replay
 
-Same {n_events:,}-event feed ({n_batches} batch dirs x {files_per_batch}
-files), same MoR table config (n_buckets=32, salted dedup), same JVM
-(local[32], tmpfs), interleaved min-of-2: once drained by
-`CdcEngine.run_streaming` (Structured Streaming file source →
-`foreachBatch`, availableNow, checkpointed, maxFilesPerTrigger=
-{files_per_batch} to reproduce the replay's micro-batch grain) and once by
-`CdcEngine.replay` (the scaling harness's driver).  Both paths execute the
-SAME `apply_batch` — the delta is pure streaming-harness cost (file-source
-listing/sort, checkpoint WAL commits, trigger scheduling).
+Same {n_events:,}-event feed ({n_batches} batch dirs x ~{files_per_batch}
+contiguous-LSN files, WAL-ordered mtimes), same MoR table config
+(n_buckets=32, salted dedup), same JVM (local[32], tmpfs), interleaved
+min-of-2 per path: drained by `CdcEngine.run_streaming` (Structured
+Streaming file source → `foreachBatch`, availableNow, checkpointed) at two
+trigger grains — maxFilesPerTrigger={files_per_batch} (finest) and
+uncapped (availableNow free grain, coarsest) — and by `CdcEngine.replay`
+(the scaling harness's driver, exactly {n_batches} batches).  All paths
+execute the SAME `apply_batch`; per-micro-batch work (MoR delta write +
+commit) is a fixed cost, so the grain bracketing separates
+commit-count effects from true harness tax (file-source listing/sort,
+checkpoint WAL commits, trigger scheduling).
 
-| path | best wall (s) | events/sec | all reps (s) |
-|---|---|---|---|
-| Structured Streaming foreachBatch | {best['stream']:.2f} | {eps['stream']:,.0f} | {out['all_reps_s']['stream']} |
-| batch replay driver | {best['replay']:.2f} | {eps['replay']:,.0f} | {out['all_reps_s']['replay']} |
+| path | micro-batches | best wall (s) | events/sec | all reps (s) |
+|---|---|---|---|---|
+| foreachBatch, maxFilesPerTrigger={files_per_batch} | {micro['stream']} | {best['stream']:.2f} | {eps['stream']:,.0f} | {out['all_reps_s']['stream']} |
+| foreachBatch, uncapped | {micro['stream_auto']} | {best['stream_auto']:.2f} | {eps['stream_auto']:,.0f} | {out['all_reps_s']['stream_auto']} |
+| batch replay driver | {micro['replay']} | {best['replay']:.2f} | {eps['replay']:,.0f} | {out['all_reps_s']['replay']} |
 
-Streaming harness overhead: **{overhead:+.1%}** over the replay driver.
-Final table states row-identical across paths (verified each run).  This
-pins the claim that BASELINE.md's replay-driver scaling numbers describe
-the foreachBatch production path too: the engine work is identical and the
-harness tax is the number above (amortized further at the 10^10 grain,
-where micro-batches are orders of magnitude larger than these).
+Streaming overhead over the replay driver: **{overhead['stream']:+.1%}**
+at the capped grain ({micro['stream']} vs {micro['replay']} commits —
+part of the delta is simply more MoR commits), **{overhead['stream_auto']:+.1%}**
+uncapped.  Final table states row-identical across all paths (verified
+each run), and every event applied exactly once at every grain — the
+WAL-ordered producer contract (contiguous-LSN files, mtime==LSN order;
+see `write_change_files`) is what makes arbitrary trigger grains safe.
+This pins the claim that BASELINE.md's replay-driver scaling numbers
+describe the foreachBatch production path too: the engine work is
+identical and the harness tax is bracketed above (amortized further at
+the 10^10 grain, where micro-batches are orders of magnitude larger).
 """
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "STREAM_VS_REPLAY.md"), "w") as f:
