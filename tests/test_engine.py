@@ -449,6 +449,58 @@ def test_matcher_resolver_fuzzy_rename(spark, tmp_path):
     assert post.filter(F.col("trace_blob").isNotNull()).count() == post.count()
 
 
+def test_change_files_wal_layout_contract(spark, tmp_path, feed):
+    """Producer contract the streaming file source relies on: every parquet
+    file covers a contiguous LSN sub-range DISJOINT from every other file's,
+    mtimes strictly increase in LSN order across the whole feed, and rerun
+    cleanup only touches this writer's batch_NNNNN dirs."""
+    import os
+
+    out = tmp_path / "wal"
+    foreign = out / "batch_extra"  # NOT batch_\d{5} — must survive reruns
+    foreign.mkdir(parents=True)
+    (foreign / "keep.txt").write_text("foreign producer data")
+    paths = write_change_files(feed, str(out), n_batches=3, files_per_batch=4)
+
+    prev_hi, prev_mt = -1, -1.0
+    for p in paths:
+        for fn in sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ):
+            fp = os.path.join(p, fn)
+            lsns = [
+                r["lsn"] for r in spark.read.parquet(fp).select("lsn").collect()
+            ]
+            assert min(lsns) > prev_hi, fp  # contiguous & disjoint in walk order
+            mt = os.path.getmtime(fp)
+            assert mt > prev_mt, fp  # strictly increasing mtimes
+            prev_hi, prev_mt = max(lsns), mt
+    assert prev_hi == 2999  # every event landed in some file
+    assert (foreign / "keep.txt").read_text() == "foreign producer data"
+
+
+def test_lineage_keys_progressive_disambiguation():
+    """Basename AND parent-dir collisions get progressively longer suffixes;
+    decoded URI and raw path forms of the same file agree."""
+    from magneto_matcher_spark.streaming.engine import _lineage_keys
+
+    keys = _lineage_keys(
+        [
+            "file:///x/a/date%3DA/data.parquet",
+            "/x/b/date=A/data.parquet",
+            "/y/b/date=A/data.parquet",
+        ]
+    )
+    assert len(set(keys)) == 3
+    # the URI form decodes to the same path family as the raw form
+    assert all("date=A" in k for k in keys)
+    # same file given twice (URI vs raw) may share a key — the spans merge,
+    # which is correct for one physical file
+    twice = _lineage_keys(["file:///x/a/data.parquet", "/x/a/data.parquet"])
+    assert twice[0] == twice[1]
+
+
 def test_metrics_sink_jsonl(spark, tmp_path, feed):
     import json
 
