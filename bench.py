@@ -162,9 +162,16 @@ def run_cdc_replay(
         # task+file overhead (fpb 1→4 cost ~2x on both modes), so 1 is the
         # default. Part of the FIXED job layout across parallelism levels.
         fpb = int(os.environ.get("SPARK_GRAFT_FPB", "1"))
+        # SPARK_GRAFT_BUCKETS: table bucket count (default 32, the FIXED
+        # layout of the official scaling table).  Provisioned-layout
+        # supplements size it to the parallelism level instead — real
+        # deployments provision partition counts to the cluster, so holding
+        # it fixed across levels understates high-N scaling for CoW, whose
+        # rewrite wave is n_buckets tasks (see BASELINE_PROVISIONED_COW.md).
+        n_buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
         warm_table = LakeTable.create(
-            spark, f"{tmp}/warm_lake", schema, key=TRANSCRIPT_KEY, n_buckets=32,
-            files_per_bucket=fpb,
+            spark, f"{tmp}/warm_lake", schema, key=TRANSCRIPT_KEY,
+            n_buckets=n_buckets, files_per_bucket=fpb,
         )
         dedup = os.environ.get("SPARK_GRAFT_DEDUP", "agg")
         CdcEngine(warm_table, dedup_strategy=dedup, n_salts=32).replay(warm_paths)
@@ -178,7 +185,8 @@ def run_cdc_replay(
         for r in range(reps):
             table = LakeTable.create(
                 spark, f"{tmp}/lake_{r}", schema, key=TRANSCRIPT_KEY,
-                n_buckets=32, write_mode=write_mode, files_per_bucket=fpb,
+                n_buckets=n_buckets, write_mode=write_mode,
+                files_per_bucket=fpb,
             )
             engine = CdcEngine(table, dedup_strategy=dedup, n_salts=32)
             # MoR batches stage concurrently (commits stay serial, in feed
