@@ -212,7 +212,27 @@ def write_change_files(
         for fn in sorted(os.listdir(p))
         if fn.endswith(".parquet") and not fn.startswith(".")
     ]
-    base = time.time() - 2.0 * len(all_files) - 2.0
+    # a later producer call into the same tree (late-arrival backfill into a
+    # sibling dir) must stamp ABOVE everything already present — backdating
+    # below existing stamps would interleave the two feeds' admission order
+    # for a fresh (checkpoint-less) drain
+    existing = 0.0
+    parent = os.path.dirname(out_dir.rstrip("/")) or out_dir
+    for root_dir in {out_dir, parent}:
+        if not os.path.isdir(root_dir):
+            continue
+        for d in os.listdir(root_dir):
+            dp = os.path.join(root_dir, d)
+            if not (_re.fullmatch(r"batch_\d{5}", d) and os.path.isdir(dp)):
+                continue
+            if os.path.realpath(dp) in {os.path.realpath(p) for p in paths}:
+                continue
+            for fn in os.listdir(dp):
+                try:
+                    existing = max(existing, os.path.getmtime(os.path.join(dp, fn)))
+                except OSError:
+                    pass
+    base = max(time.time() - 2.0 * len(all_files) - 2.0, existing + 2.0)
     for i, f in enumerate(all_files):
         t = base + 2.0 * i
         os.utime(f, (t, t))

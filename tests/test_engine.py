@@ -242,6 +242,32 @@ def test_streaming_restart_after_checkpoint(spark, tmp_path, feed):
     assert len(table2.snapshots()) > n_snapshots_mid
 
 
+def test_streaming_fresh_drain_over_two_producer_calls(spark, tmp_path, feed):
+    """Backfill shape: two write_change_files calls into one tree (main +
+    late sibling dir), then ONE checkpoint-less drain over the whole tree.
+    The second call must stamp mtimes ABOVE the first call's (not backdate
+    below them), or admission interleaves the feeds and the watermark drops
+    the late-admitted lower range."""
+    in_dir = tmp_path / "two_calls"
+    write_change_files(
+        feed.filter(F.col("lsn") < 1500), str(in_dir), n_batches=2
+    )
+    write_change_files(
+        feed.filter(F.col("lsn") >= 1500), str(in_dir / "late"), n_batches=2
+    )
+    table = _mk_table(spark, tmp_path)
+    engine = CdcEngine(table)
+    engine.run_streaming(
+        str(in_dir),
+        str(tmp_path / "two_ckpt"),
+        schema=CHANGE_FEED_SCHEMA,
+        max_files_per_trigger=3,  # force multi-trigger admission
+    )
+    applied = [m for m in engine.metrics_log if not m.get("skipped")]
+    assert sum(m["events_in"] for m in applied) == feed.count()
+    assert _state_dict(table) == _oracle(feed.collect())
+
+
 def test_drift_batch_auto_evolves(spark, tmp_path):
     """FIXTURES.md F3: renamed tool→tool_name + added tool_meta/latency_ms.
     The incoming renamed column must land in the existing `tool` column (it
