@@ -186,6 +186,25 @@ def test_concurrent_replay_crash_mid_commit_resumes(spark, tmp_path, feed):
     assert _state_dict(table2) == _oracle(feed_rows)
 
 
+def test_per_turn_text_equality_stable_ordering(spark, tmp_path, feed):
+    """The north rule's verification invariant, verbatim: after a full
+    replay, per-turn TEXT equality vs the sequential oracle under stable
+    (conv_id, turn_idx) ordering — through the real lake engine."""
+    paths = write_change_files(feed, str(tmp_path / "ptfeed"), n_batches=4)
+    table = _mk_table(spark, tmp_path, "pt")
+    CdcEngine(table).replay(paths)
+
+    got = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.read().orderBy("conv_id", "turn_idx").collect()
+    ]
+    oracle = _oracle(feed.collect())  # (conv_id, turn_idx) -> (text, lsn)
+    want = [
+        (cid, tix, oracle[(cid, tix)][0]) for cid, tix in sorted(oracle)
+    ]
+    assert got == want  # same keys, same order, same per-turn text
+
+
 def test_streaming_availablenow_end_to_end(spark, tmp_path, feed):
     write_change_files(feed, str(tmp_path / "stream_in"), n_batches=3)
     table = _mk_table(spark, tmp_path)
