@@ -15,6 +15,7 @@ Env:
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_EVENTS   replay feed size (default 2_000_000)
   SPARK_GRAFT_BATCHES  micro-batch count (default 5)
+  SPARK_GRAFT_BUCKETS  table bucket count (default 32 — the fixed layout)
 """
 
 from __future__ import annotations
