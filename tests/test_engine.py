@@ -494,18 +494,30 @@ def test_matcher_resolver_fuzzy_rename(spark, tmp_path):
     assert post.filter(F.col("trace_blob").isNotNull()).count() == post.count()
 
 
-def test_change_files_wal_layout_contract(spark, tmp_path, feed):
+@pytest.mark.parametrize(
+    "n_batches,files_per_batch",
+    [
+        (3, 4),  # the common shape
+        (4, 1),  # single file per batch
+        (1, 8),  # one batch, many files
+    ],
+)
+def test_change_files_wal_layout_contract(
+    spark, tmp_path, feed, n_batches, files_per_batch
+):
     """Producer contract the streaming file source relies on: every parquet
     file covers a contiguous LSN sub-range DISJOINT from every other file's,
     mtimes strictly increase in LSN order across the whole feed, and rerun
     cleanup only touches this writer's batch_NNNNN dirs."""
     import os
 
-    out = tmp_path / "wal"
+    out = tmp_path / f"wal_{n_batches}_{files_per_batch}"
     foreign = out / "batch_extra"  # NOT batch_\d{5} — must survive reruns
     foreign.mkdir(parents=True)
     (foreign / "keep.txt").write_text("foreign producer data")
-    paths = write_change_files(feed, str(out), n_batches=3, files_per_batch=4)
+    paths = write_change_files(
+        feed, str(out), n_batches=n_batches, files_per_batch=files_per_batch
+    )
 
     prev_hi, prev_mt = -1, -1.0
     for p in paths:
