@@ -213,25 +213,35 @@ def write_change_files(
         if fn.endswith(".parquet") and not fn.startswith(".")
     ]
     # a later producer call into the same tree (late-arrival backfill into a
-    # sibling dir) must stamp ABOVE everything already present — backdating
-    # below existing stamps would interleave the two feeds' admission order
-    # for a fresh (checkpoint-less) drain
+    # sibling dir — `tree/late/batch_*` next to `tree/batch_*`, or one
+    # subdir per arrival `tree/{a,b,c}/batch_*`) must stamp ABOVE everything
+    # already present — backdating below existing stamps would interleave
+    # the feeds' admission order for a fresh (checkpoint-less) drain.
+    # Bounded walk (3 levels) from the parent covers those layouts without
+    # scanning arbitrary trees.
     existing = 0.0
+    ours = {os.path.realpath(p) for p in paths}
     parent = os.path.dirname(out_dir.rstrip("/")) or out_dir
-    for root_dir in {out_dir, parent}:
-        if not os.path.isdir(root_dir):
-            continue
-        for d in os.listdir(root_dir):
-            dp = os.path.join(root_dir, d)
-            if not (_re.fullmatch(r"batch_\d{5}", d) and os.path.isdir(dp)):
+    if os.path.isdir(parent):
+        depth0 = parent.rstrip("/").count(os.sep)
+        for root_dir, dirnames, _files in os.walk(parent):
+            if root_dir.rstrip("/").count(os.sep) - depth0 >= 3:
+                dirnames[:] = []
                 continue
-            if os.path.realpath(dp) in {os.path.realpath(p) for p in paths}:
-                continue
-            for fn in os.listdir(dp):
-                try:
-                    existing = max(existing, os.path.getmtime(os.path.join(dp, fn)))
-                except OSError:
-                    pass
+            for d in list(dirnames):
+                if not _re.fullmatch(r"batch_\d{5}", d):
+                    continue
+                dp = os.path.join(root_dir, d)
+                dirnames.remove(d)  # don't descend into batch dirs
+                if os.path.realpath(dp) in ours:
+                    continue
+                for fn in os.listdir(dp):
+                    try:
+                        existing = max(
+                            existing, os.path.getmtime(os.path.join(dp, fn))
+                        )
+                    except OSError:
+                        pass
     base = max(time.time() - 2.0 * len(all_files) - 2.0, existing + 2.0)
     for i, f in enumerate(all_files):
         t = base + 2.0 * i

@@ -287,6 +287,67 @@ def test_streaming_fresh_drain_over_two_producer_calls(spark, tmp_path, feed):
     assert _state_dict(table) == _oracle(feed.collect())
 
 
+def test_streaming_live_tail_continuous(spark, tmp_path, feed):
+    """Production mode: a CONTINUOUS query (no availableNow) tails the input
+    dir while a producer appends feed subtrees in write order; the engine
+    must apply each arrival exactly once as it lands."""
+    import time as _time
+
+    in_dir = tmp_path / "tail_in"
+    in_dir.mkdir()
+    table = _mk_table(spark, tmp_path, "tail")
+    engine = CdcEngine(table)
+    query = engine.run_streaming(
+        str(in_dir),
+        str(tmp_path / "tail_ckpt"),
+        schema=CHANGE_FEED_SCHEMA,
+        trigger_once=False,
+    )
+    try:
+        for lo, hi, sub in ((0, 1000, "a"), (1000, 2000, "b"), (2000, 3000, "c")):
+            write_change_files(
+                feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+                str(in_dir / sub),
+                n_batches=1,
+            )
+            deadline = _time.time() + 120
+            while (
+                table.committed_offset_end() < hi - 1
+                and _time.time() < deadline
+            ):
+                _time.sleep(0.5)
+            assert table.committed_offset_end() == hi - 1, (sub, hi)
+    finally:
+        query.stop()
+    applied = [m for m in engine.metrics_log if not m.get("skipped")]
+    assert sum(m["events_in"] for m in applied) == feed.count()
+    assert _state_dict(table) == _oracle(feed.collect())
+
+
+def test_streaming_fresh_drain_over_sibling_subtrees(spark, tmp_path, feed):
+    """One subdir per arrival (tree/{a,b}/batch_*), written seconds apart,
+    drained FRESH afterwards: the producer's monotone stamping must clear
+    sibling subtrees' stamps, not just same-dir ones."""
+    in_dir = tmp_path / "sib_in"
+    write_change_files(
+        feed.filter(F.col("lsn") < 1500), str(in_dir / "a"), n_batches=2
+    )
+    write_change_files(
+        feed.filter(F.col("lsn") >= 1500), str(in_dir / "b"), n_batches=2
+    )
+    table = _mk_table(spark, tmp_path, "sib")
+    engine = CdcEngine(table)
+    engine.run_streaming(
+        str(in_dir),
+        str(tmp_path / "sib_ckpt"),
+        schema=CHANGE_FEED_SCHEMA,
+        max_files_per_trigger=3,
+    )
+    applied = [m for m in engine.metrics_log if not m.get("skipped")]
+    assert sum(m["events_in"] for m in applied) == feed.count()
+    assert _state_dict(table) == _oracle(feed.collect())
+
+
 def test_drift_batch_auto_evolves(spark, tmp_path):
     """FIXTURES.md F3: renamed tool→tool_name + added tool_meta/latency_ms.
     The incoming renamed column must land in the existing `tool` column (it
