@@ -314,7 +314,10 @@ def walk_gdc_pairs(spark, root: str, target_csv: str | None = None,
             if not cands:
                 return
             target_csv = os.path.join(tdir, cands[0])
-    tgt = spark.read.csv(target_csv, header=True, inferSchema=True)
+    # the shared target is the LARGEST file in the corpus and inferSchema
+    # scans it eagerly — defer until the first non-skipped pair so a fully
+    # resumed (or empty) walk really is O(1), as the docstring promises
+    tgt = None
 
     gt_dir = os.path.join(root, "ground-truth")
     src_dir = os.path.join(root, "source-tables")
@@ -329,6 +332,8 @@ def walk_gdc_pairs(spark, root: str, target_csv: str | None = None,
         src_p = os.path.join(src_dir, gt_file)
         if not os.path.exists(src_p):
             continue
+        if tgt is None:
+            tgt = spark.read.csv(target_csv, header=True, inferSchema=True)
         gt = read_ground_truth_csv(spark, os.path.join(gt_dir, gt_file)).select(
             F.col("source_column").alias("src_col"),
             F.col("target_column").alias("tgt_col"),

@@ -175,13 +175,14 @@ def strsim_candidates(
         ).alias("_pt"),
     )
     if flavor == "levenshtein":
+        # project the O(len^2) ratio into a column ONCE, then threshold the
+        # column — Catalyst does not CSE across When branches, so inlining
+        # the expr in both condition and value would evaluate it twice per
+        # pair (the same cost textops.quality_score_expr avoids)
         scored = pairs.withColumn(
-            "score",
-            F.when(
-                levenshtein_ratio_expr(F.lower("_ps"), F.lower("_pt"))
-                >= fuzzy_threshold,
-                levenshtein_ratio_expr(F.lower("_ps"), F.lower("_pt")),
-            ),
+            "_ratio", levenshtein_ratio_expr(F.lower("_ps"), F.lower("_pt"))
+        ).withColumn(
+            "score", F.when(F.col("_ratio") >= fuzzy_threshold, F.col("_ratio"))
         )
     else:
         scored = pairs.select(

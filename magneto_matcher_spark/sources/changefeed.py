@@ -212,38 +212,40 @@ def write_change_files(
         for fn in sorted(os.listdir(p))
         if fn.endswith(".parquet") and not fn.startswith(".")
     ]
-    # a later producer call into the same tree (late-arrival backfill into a
-    # sibling dir — `tree/late/batch_*` next to `tree/batch_*`, or one
-    # subdir per arrival `tree/{a,b,c}/batch_*`) must stamp ABOVE everything
-    # already present — backdating below existing stamps would interleave
-    # the feeds' admission order for a fresh (checkpoint-less) drain.
-    # Bounded walk (3 levels) from the parent covers those layouts without
-    # scanning arbitrary trees.
+    # Stamps are anchored at NOW and step 2 ms per file (the streaming file
+    # source compares modification times at millisecond precision).  That
+    # makes successive producer calls into one tree monotone by wall clock
+    # alone — call k+1 starts after call k's Spark write finished, which
+    # dwarfs the ≤2ms-per-file forward overhang — so a late-arrival
+    # backfill (`tree/late/batch_*`) or one-subdir-per-arrival layout
+    # (`tree/{a,b,c}/batch_*`) drains fresh in feed order with no
+    # cross-tree scanning.  A producer writing CONCURRENTLY into the same
+    # tree needs a checkpointed drain (seen-file tracking), same as any
+    # multi-writer file-source setup.  Belt-and-braces: never stamp below
+    # anything already inside THIS out_dir (guarded — sibling trees under a
+    # shared parent are deliberately not touched).
+    step = 0.005
     existing = 0.0
     ours = {os.path.realpath(p) for p in paths}
-    parent = os.path.dirname(out_dir.rstrip("/")) or out_dir
-    if os.path.isdir(parent):
-        depth0 = parent.rstrip("/").count(os.sep)
-        for root_dir, dirnames, _files in os.walk(parent):
-            if root_dir.rstrip("/").count(os.sep) - depth0 >= 3:
-                dirnames[:] = []
+    try:
+        for d in os.listdir(out_dir):
+            dp = os.path.join(out_dir, d)
+            if not (_re.fullmatch(r"batch_\d{5}", d) and os.path.isdir(dp)):
                 continue
-            for d in list(dirnames):
-                if not _re.fullmatch(r"batch_\d{5}", d):
-                    continue
-                dp = os.path.join(root_dir, d)
-                dirnames.remove(d)  # don't descend into batch dirs
-                if os.path.realpath(dp) in ours:
-                    continue
-                for fn in os.listdir(dp):
-                    try:
-                        existing = max(
-                            existing, os.path.getmtime(os.path.join(dp, fn))
-                        )
-                    except OSError:
-                        pass
-    base = max(time.time() - 2.0 * len(all_files) - 2.0, existing + 2.0)
+            if os.path.realpath(dp) in ours:
+                continue
+            for fn in os.listdir(dp):
+                try:
+                    existing = max(existing, os.path.getmtime(os.path.join(dp, fn)))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    base = max(time.time(), existing + step)
+    base_ms = int(base * 1000) + 1
     for i, f in enumerate(all_files):
-        t = base + 2.0 * i
+        # quantized to the millisecond grid the file source compares at, so
+        # no two files ever tie even under float accumulation
+        t = (base_ms + int(step * 1000) * i) / 1000.0
         os.utime(f, (t, t))
     return paths

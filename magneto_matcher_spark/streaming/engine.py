@@ -188,16 +188,18 @@ class CdcEngine:
           table never narrows);
         - any other mismatch: fail loud — unsafe drift (e.g. int→string)
           must not be guessed at;
-        - key/LSN columns are exempt: ``normalize_payload`` casts them to
-          their canonical types, and the table refuses to promote them
-          (keyhash width stability — see ``LakeTable.evolve``).
+        - key/LSN columns can never be PROMOTED (keyhash width stability —
+          ``F.hash`` of the same value at different widths differs, which
+          would scatter a key's rows across buckets; see ``LakeTable.evolve``).
+          A NARROWER batch key is cast up to the table's registered type
+          (value- and hash-preserving); a WIDER one fails loud here instead
+          of silently wrapping at read time.
 
         Driver-side schema comparison only; no job runs when types match."""
         protected = set(self.table.key) | {self.table.lsn_col}
         table_types = {
             f["name"]: f["type"]
             for f in self.table.current_schema_meta["fields"]
-            if f["name"] not in protected
         }
         batch_types = {
             f.name: f.dataType.simpleString() for f in batch.schema.fields
@@ -208,10 +210,16 @@ class CdcEngine:
             bt = batch_types.get(name)
             if bt is None or bt == tt:
                 continue
-            if (tt, bt) in SAFE_PROMOTIONS:
+            if (tt, bt) in SAFE_PROMOTIONS and name not in protected:
                 promotes[name] = bt
             elif (bt, tt) in SAFE_PROMOTIONS:
                 upcasts[name] = tt
+            elif (tt, bt) in SAFE_PROMOTIONS:  # protected, batch wider
+                raise ValueError(
+                    f"type drift on key/LSN column {name!r}: batch has {bt}, "
+                    f"table has {tt} — key columns cannot be promoted "
+                    f"(bucket-hash width stability); re-key the table"
+                )
             else:
                 raise ValueError(
                     f"incompatible type drift on column {name!r}: batch has "
@@ -425,7 +433,19 @@ class CdcEngine:
                 self._emit(metrics)
                 out.append(metrics)
                 continue
-            df = self.table.spark.read.parquet(path)
+            if _dir_schemas_uniform(path):
+                df = self.table.spark.read.parquet(path)
+            else:
+                # files inside one dir straddle a producer-side change
+                # (widened column / added column): single-footer inference
+                # either fails at scan time (narrow file sampled) or
+                # silently upcasts (wide file sampled), and Spark's
+                # mergeSchema refuses numeric widening across files — so
+                # read each schema-uniform file group exactly, cast up to
+                # the SAFE_PROMOTIONS union, and union the groups.  The
+                # drift resolver then promotes/adds/fails-loud on the
+                # union schema deterministically.
+                df = _read_mixed_dir(self.table.spark, path)
             out.append(self.apply_batch(df, source_desc=path, stats=stats))
         return out
 
@@ -442,22 +462,26 @@ class CdcEngine:
             for f in self.table.current_schema_meta["fields"]
         }
         for path in batch_paths:
-            files = _glob.glob(os.path.join(path, "*.parquet"))
-            if not files:
-                continue
-            schema = pq.read_schema(files[0])
-            if set(schema.names) != expect_names:
-                return False  # name drift present → serialize
-            for field in schema:
-                want = expect_types.get(field.name)
-                if want is None:  # system col (op)
-                    continue
-                got = _arrow_type_str(field.type)
-                # type drift (widened ints, etc.) or an arrow type this
-                # check can't classify: serialize through the drift path,
-                # which promotes/upcasts/fails-loud per column
-                if got != want:
-                    return False
+            # EVERY file's footer, not a sample: a mixed-schema batch dir
+            # (e.g. a foreign backfill straddling a producer-side widening)
+            # must serialize through the drift path, and sampling files[0]
+            # would let the drifted tail bypass promote/fail-loud entirely.
+            # Footer reads are driver-side metadata (no Spark job) and the
+            # stats pass reads the same footers anyway.
+            for fp in _glob.glob(os.path.join(path, "*.parquet")):
+                schema = pq.read_schema(fp)
+                if set(schema.names) != expect_names:
+                    return False  # name drift present → serialize
+                for field in schema:
+                    want = expect_types.get(field.name)
+                    if want is None:  # system col (op)
+                        continue
+                    got = _arrow_type_str(field.type)
+                    # type drift (widened ints, etc.) or an arrow type this
+                    # check can't classify: serialize through the drift path,
+                    # which promotes/upcasts/fails-loud per column
+                    if got != want:
+                        return False
         return True
 
     def _replay_concurrent(
@@ -624,6 +648,71 @@ class CdcEngine:
         if trigger_once:
             query.awaitTermination()
         return query
+
+
+def _dir_schemas_uniform(path: str) -> bool:
+    """True when every parquet file in ``path`` carries the same (name,
+    type) schema — driver-side footer reads only.  Non-uniform dirs must be
+    read with mergeSchema so the drift resolver sees the union schema."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    first = None
+    for fp in _glob.glob(os.path.join(path, "*.parquet")):
+        schema = pq.read_schema(fp)
+        sig = [(f.name, str(f.type)) for f in schema]
+        if first is None:
+            first = sig
+        elif sig != first:
+            return False
+    return True
+
+
+def _read_mixed_dir(spark, path: str) -> DataFrame:
+    """Read a batch dir whose files disagree on schema (a producer-side
+    change landed mid-batch): group files by exact (name, type) signature,
+    read each group with its own schema, cast every column up to the
+    SAFE_PROMOTIONS union type, and union the groups by name (missing
+    columns null-filled).  Incompatible type mixes fail loud here, same
+    contract as the drift resolver."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for fp in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        schema = pq.read_schema(fp)
+        sig = tuple((f.name, _arrow_type_str(f.type)) for f in schema)
+        groups.setdefault(sig, []).append(fp)
+
+    union_types: dict[str, str] = {}
+    for sig in groups:
+        for name, typ in sig:
+            cur = union_types.get(name)
+            if cur is None or cur == typ:
+                union_types[name] = typ
+            elif (cur, typ) in SAFE_PROMOTIONS:
+                union_types[name] = typ
+            elif (typ, cur) in SAFE_PROMOTIONS:
+                pass
+            else:
+                raise ValueError(
+                    f"files in {path!r} mix incompatible types for column "
+                    f"{name!r}: {cur} vs {typ} — not a safe widening"
+                )
+
+    parts = []
+    for sig, files in groups.items():
+        df = spark.read.parquet(*files)
+        for name, typ in sig:
+            if union_types[name] != typ:
+                df = df.withColumn(name, F.col(name).cast(union_types[name]))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def _scan_stats(

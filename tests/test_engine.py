@@ -619,6 +619,68 @@ def test_lineage_keys_progressive_disambiguation():
     assert twice[0] == twice[1]
 
 
+def test_key_column_type_drift_fails_loud(spark, tmp_path, feed):
+    """A WIDER key/LSN column in the batch must raise, not silently wrap:
+    the table cannot promote key widths (bucket-hash stability), and the
+    old silent exemption let out-of-range values corrupt buckets."""
+    table = _mk_table(spark, tmp_path, "kd")
+    engine = CdcEngine(table)
+    wide = feed.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    with pytest.raises(ValueError, match="key/LSN column 'turn_idx'"):
+        engine.apply_batch(wide, source_desc="wide-key")
+
+
+def test_key_column_narrower_batch_upcasts(spark, tmp_path, feed):
+    """A NARROWER batch LSN (int where the table registers long) is cast up
+    — value- and hash-preserving — and the batch applies normally."""
+    table = _mk_table(spark, tmp_path, "kn")
+    engine = CdcEngine(table)
+    narrow = feed.withColumn("lsn", F.col("lsn").cast("int"))
+    m = engine.apply_batch(narrow, source_desc="narrow-lsn")
+    assert not m["skipped"]
+    assert _state_dict(table) == _oracle(feed.collect())
+
+
+def test_mixed_schema_batch_dir_serializes(spark, tmp_path, feed):
+    """A batch dir whose files straddle a producer-side widening (first
+    file clean, later file drifted) must NOT take the concurrent fast path
+    — the gate reads every footer, so the drifted tail goes through the
+    promote machinery instead of bypassing it."""
+    feed_rows = feed.filter(F.col("lsn") < 1000)
+    clean = feed_rows.filter(F.col("lsn") < 500)
+    drift = feed_rows.filter(F.col("lsn") >= 500).withColumn(
+        "latency_ms", F.lit(7).cast("long")
+    )
+    clean = clean.withColumn("latency_ms", F.lit(3).cast("int"))
+    mixed_dir = tmp_path / "mixed" / "batch_00000"
+    mixed_dir.mkdir(parents=True)
+    # write each half with Spark (type-exact parquet) and merge the part
+    # files into ONE batch dir, clean file sorting first
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, (name, df) in enumerate((("clean", clean), ("drift", drift))):
+        side = tmp_path / f"side_{name}"
+        df.coalesce(1).write.parquet(str(side))
+        src_file = _glob.glob(str(side / "part-*.parquet"))[0]
+        _shutil.copy(src_file, str(mixed_dir / f"part-0000{i}-{name}.parquet"))
+
+    schema = T.StructType(
+        TABLE_SCHEMA.fields + [T.StructField("latency_ms", T.IntegerType(), True)]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "mx"), schema, key=TRANSCRIPT_KEY, n_buckets=8,
+        write_mode="mor",
+    )
+    engine = CdcEngine(table)
+    assert not engine._can_replay_concurrently([str(mixed_dir)])
+    engine.replay([str(mixed_dir)], concurrency=4)
+    # the widened column was promoted, and the state matches the oracle
+    types = {f["name"]: f["type"] for f in table.current_schema_meta["fields"]}
+    assert types["latency_ms"] == "bigint"
+    assert _state_dict(table) == _oracle(feed_rows.collect())
+
+
 def test_metrics_sink_jsonl(spark, tmp_path, feed):
     import json
 
