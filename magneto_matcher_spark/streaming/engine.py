@@ -652,21 +652,27 @@ class CdcEngine:
 
 def _dir_schemas_uniform(path: str) -> bool:
     """True when every parquet file in ``path`` carries the same (name,
-    type) schema — driver-side footer reads only.  Non-uniform dirs must be
-    read with mergeSchema so the drift resolver sees the union schema."""
+    type) schema — driver-side footer reads only (parallelized like
+    ``_footer_stats``; these are the same footers the stats pass just
+    opened, so the OS page cache serves them).  Non-uniform dirs must be
+    read via ``_read_mixed_dir`` so the drift resolver sees the union
+    schema."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    first = None
-    for fp in _glob.glob(os.path.join(path, "*.parquet")):
-        schema = pq.read_schema(fp)
-        sig = [(f.name, str(f.type)) for f in schema]
-        if first is None:
-            first = sig
-        elif sig != first:
-            return False
-    return True
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    if len(files) <= 1:
+        return True
+
+    def _sig(fp: str) -> tuple:
+        return tuple((f.name, str(f.type)) for f in pq.read_schema(fp))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        sigs = list(pool.map(_sig, files))
+    return len(set(sigs)) == 1
 
 
 def _read_mixed_dir(spark, path: str) -> DataFrame:
