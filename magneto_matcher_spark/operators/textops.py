@@ -45,11 +45,36 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
     return F.size(pieces)
 
 
-def stopword_ratio_expr(text: Column, lang: str = "en") -> Column:
-    toks = tokens_expr(F.lower(text))
+def stopword_hits_expr(
+    toks: Column, lang: str, *, lower_tokens: bool = False
+) -> Column:
+    """Count of tokens that are ``lang`` stopwords — THE stopword-hit rule,
+    defined once and shared by ``stopword_ratio_expr``,
+    ``quality_score_expr``, ``lang_score_expr`` and ``lang_id`` so a change
+    to the rule (or ``LANG_STOPWORDS``' lowering convention) cannot
+    silently diverge the quality score from its oracle.
+
+    ``lower_tokens``: lower each token before matching (for callers holding
+    an unlowered token array; equals tokenizing ``lower(text)`` because
+    whitespace is case-stable)."""
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+    if lower_tokens:
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio_expr(
+    text: Column, lang: str = "en", toks: Column | None = None
+) -> Column:
+    """``toks``: optionally a pre-projected ``tokens_expr(text)`` column
+    (NOT lowered)."""
+    if toks is None:
+        toks = tokens_expr(F.lower(text))
+        n_sw = stopword_hits_expr(toks, lang)
+    else:
+        n_sw = stopword_hits_expr(toks, lang, lower_tokens=True)
+    n = F.size(toks)
+    return F.when(n > 0, n_sw / n).otherwise(F.lit(0.0))
 
 
 def punct_ratio_expr(text: Column) -> Column:
@@ -57,8 +82,10 @@ def punct_ratio_expr(text: Column) -> Column:
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 
-def mean_word_len_expr(text: Column) -> Column:
-    toks = tokens_expr(text)
+def mean_word_len_expr(text: Column, toks: Column | None = None) -> Column:
+    """``toks``: optionally a pre-projected ``tokens_expr(text)`` column."""
+    if toks is None:
+        toks = tokens_expr(text)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -81,21 +108,16 @@ def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
     n = F.size(toks)
     len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio_expr(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    sw_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, F.lower(t))))
-    sw = F.when(n > 0, n_sw / n).otherwise(F.lit(0.0))
+    sw = stopword_ratio_expr(text, "en", toks=toks)
     sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    mwl = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    mwl = mean_word_len_expr(text, toks=toks)
     mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return (len_ok + punct_ok + sw_ok + mwl_ok) / 4.0
 
 
 def lang_score_expr(text: Column, lang: str) -> Column:
     """Stopword-hit count for one language."""
-    toks = tokens_expr(F.lower(text))
-    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return stopword_hits_expr(tokens_expr(F.lower(text)), lang)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
@@ -109,14 +131,9 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     codes = sorted(LANG_STOPWORDS)
     ltoks = "_lang_id_toks"
     scored = df.withColumn(ltoks, tokens_expr(F.lower(F.col(text_col))))
-    def _hits(sw: Column) -> Column:
-        # helper scope: a bare `lambda t, _sw=sw:` would be read by pyspark
-        # as a 2-arg (element, index) lambda
-        return F.size(F.filter(F.col(ltoks), lambda t: F.array_contains(sw, t)))
-
     for code in codes:
         scored = scored.withColumn(
-            f"_s_{code}", _hits(F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]]))
+            f"_s_{code}", stopword_hits_expr(F.col(ltoks), code)
         )
     scored = scored.drop(ltoks)
     pick: Column = F.lit("und")

@@ -196,56 +196,82 @@ def write_change_files(
         .mode("overwrite")
         .parquet(staged)
     )
-    paths = []
-    for b in range(n_batches):
-        src = f"{staged}/_batch={b}"
-        dst = f"{out_dir}/batch_{b:05d}"
-        if os.path.isdir(src):
-            os.rename(src, dst)
-            paths.append(dst)
-    # stamp mtimes strictly increasing in LSN order (batch-major, then
-    # part-id within the batch) so the streaming file source's mtime-ordered
-    # admission replays the WAL order at any trigger grain
+    # Stamp mtimes strictly increasing in LSN order (batch-major, part-id
+    # minor) WHILE THE FILES ARE STILL UNDER _staged — only then publish
+    # via rename.  Stamping after publication would open a race with a
+    # live continuous tail: the file source could list just-renamed files
+    # still carrying their Spark-write mtimes (task-completion order, not
+    # LSN order) and, at a sub-batch trigger grain, advance the exactly-once
+    # watermark past unadmitted sibling files.
+    #
+    # Stamps anchor at NOW and step 5 ms per file on the millisecond grid
+    # the file source compares at (no two files ever tie, even under float
+    # accumulation).  Cross-call monotonicity: the forward overhang is
+    # 5 ms x n_files PER CALL (seconds for very large feeds), so wall clock
+    # alone is not quite enough when a fast sibling-tree write starts
+    # within that overhang — the belt-and-braces scan below therefore
+    # covers batch_* dirs in out_dir, in out_dir's parent, AND one level
+    # under the parent's other children (the `tree/late/batch_*` and
+    # `tree/{a,b,c}/batch_*` layouts), clamped to sane values so an
+    # unrelated producer's absurd future stamps can't drag ours along.
+    # A producer writing CONCURRENTLY into the same tree still needs a
+    # checkpointed drain (seen-file tracking), like any multi-writer
+    # file-source setup.
+    staged_dirs = [
+        (b, f"{staged}/_batch={b}")
+        for b in range(n_batches)
+        if os.path.isdir(f"{staged}/_batch={b}")
+    ]
     all_files = [
-        os.path.join(p, fn)
-        for p in paths
-        for fn in sorted(os.listdir(p))
+        os.path.join(dp, fn)
+        for _b, dp in staged_dirs
+        for fn in sorted(os.listdir(dp))
         if fn.endswith(".parquet") and not fn.startswith(".")
     ]
-    # Stamps are anchored at NOW and step 2 ms per file (the streaming file
-    # source compares modification times at millisecond precision).  That
-    # makes successive producer calls into one tree monotone by wall clock
-    # alone — call k+1 starts after call k's Spark write finished, which
-    # dwarfs the ≤2ms-per-file forward overhang — so a late-arrival
-    # backfill (`tree/late/batch_*`) or one-subdir-per-arrival layout
-    # (`tree/{a,b,c}/batch_*`) drains fresh in feed order with no
-    # cross-tree scanning.  A producer writing CONCURRENTLY into the same
-    # tree needs a checkpointed drain (seen-file tracking), same as any
-    # multi-writer file-source setup.  Belt-and-braces: never stamp below
-    # anything already inside THIS out_dir (guarded — sibling trees under a
-    # shared parent are deliberately not touched).
     step = 0.005
     existing = 0.0
-    ours = {os.path.realpath(p) for p in paths}
-    try:
-        for d in os.listdir(out_dir):
-            dp = os.path.join(out_dir, d)
-            if not (_re.fullmatch(r"batch_\d{5}", d) and os.path.isdir(dp)):
-                continue
-            if os.path.realpath(dp) in ours:
-                continue
-            for fn in os.listdir(dp):
+
+    def _scan_batch_dirs(root_dir: str) -> None:
+        nonlocal existing
+        try:
+            for d in os.listdir(root_dir):
+                if not _re.fullmatch(r"batch_\d{5}", d):
+                    continue
+                dp = os.path.join(root_dir, d)
                 try:
-                    existing = max(existing, os.path.getmtime(os.path.join(dp, fn)))
+                    for fn in os.listdir(dp):
+                        existing = max(
+                            existing, os.path.getmtime(os.path.join(dp, fn))
+                        )
                 except OSError:
                     pass
-    except OSError:
-        pass
-    base = max(time.time(), existing + step)
-    base_ms = int(base * 1000) + 1
+        except OSError:
+            pass
+
+    now = time.time()
+    _scan_batch_dirs(out_dir)
+    parent = os.path.dirname(out_dir.rstrip("/"))
+    if parent and os.path.isdir(parent):
+        _scan_batch_dirs(parent)
+        try:
+            for d in os.listdir(parent):
+                dp = os.path.join(parent, d)
+                if dp != out_dir.rstrip("/") and os.path.isdir(dp):
+                    _scan_batch_dirs(dp)
+        except OSError:
+            pass
+    # clamp: ignore stamps more than 60 s in the future (an unrelated
+    # producer sharing the parent must not drag our stamps forward)
+    if existing > now + 60.0:
+        existing = now + 60.0
+    base_ms = int(max(now, existing + step) * 1000) + 1
     for i, f in enumerate(all_files):
-        # quantized to the millisecond grid the file source compares at, so
-        # no two files ever tie even under float accumulation
         t = (base_ms + int(step * 1000) * i) / 1000.0
         os.utime(f, (t, t))
+
+    paths = []
+    for b, src in staged_dirs:
+        dst = f"{out_dir}/batch_{b:05d}"
+        os.rename(src, dst)
+        paths.append(dst)
     return paths

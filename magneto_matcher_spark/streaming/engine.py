@@ -461,28 +461,44 @@ class CdcEngine:
             f["name"]: f["type"]
             for f in self.table.current_schema_meta["fields"]
         }
-        for path in batch_paths:
-            # EVERY file's footer, not a sample: a mixed-schema batch dir
-            # (e.g. a foreign backfill straddling a producer-side widening)
-            # must serialize through the drift path, and sampling files[0]
-            # would let the drifted tail bypass promote/fail-loud entirely.
-            # Footer reads are driver-side metadata (no Spark job) and the
-            # stats pass reads the same footers anyway.
-            for fp in _glob.glob(os.path.join(path, "*.parquet")):
-                schema = pq.read_schema(fp)
-                if set(schema.names) != expect_names:
-                    return False  # name drift present → serialize
-                for field in schema:
-                    want = expect_types.get(field.name)
-                    if want is None:  # system col (op)
-                        continue
-                    got = _arrow_type_str(field.type)
-                    # type drift (widened ints, etc.) or an arrow type this
-                    # check can't classify: serialize through the drift path,
-                    # which promotes/upcasts/fails-loud per column
-                    if got != want:
-                        return False
-        return True
+        # EVERY file's footer, not a sample: a mixed-schema batch dir
+        # (e.g. a foreign backfill straddling a producer-side widening)
+        # must serialize through the drift path, and sampling files[0]
+        # would let the drifted tail bypass promote/fail-loud entirely.
+        # Footer reads are driver-side metadata (no Spark job); they
+        # release the GIL, so the sweep is thread-pooled like
+        # _footer_stats' — the gate must not add an O(total files) serial
+        # stall in front of a long resumable replay.
+        files = [
+            fp
+            for path in batch_paths
+            for fp in _glob.glob(os.path.join(path, "*.parquet"))
+        ]
+
+        def _ok(fp: str) -> bool:
+            schema = pq.read_schema(fp)
+            if set(schema.names) != expect_names:
+                return False  # name drift present → serialize
+            for field in schema:
+                want = expect_types.get(field.name)
+                if want is None:  # system col (op)
+                    continue
+                got = _arrow_type_str(field.type)
+                # type drift (widened ints, etc.) or an arrow type this
+                # check can't classify: serialize through the drift path,
+                # which promotes/upcasts/fails-loud per column
+                if got != want:
+                    return False
+            return True
+
+        if not files:
+            return True
+        if len(files) == 1:
+            return _ok(files[0])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+            return all(pool.map(_ok, files))
 
     def _replay_concurrent(
         self, batch_paths: list[str], concurrency: int
@@ -677,43 +693,73 @@ def _dir_schemas_uniform(path: str) -> bool:
 
 def _read_mixed_dir(spark, path: str) -> DataFrame:
     """Read a batch dir whose files disagree on schema (a producer-side
-    change landed mid-batch): group files by exact (name, type) signature,
-    read each group with its own schema, cast every column up to the
-    SAFE_PROMOTIONS union type, and union the groups by name (missing
-    columns null-filled).  Incompatible type mixes fail loud here, same
-    contract as the drift resolver."""
+    change landed mid-batch): group files by exact RAW (name, arrow-type)
+    signature, read each group with its own schema, cast columns whose raw
+    types differ ACROSS groups up to the SAFE_PROMOTIONS union, and union
+    the groups by name (missing columns null-filled).
+
+    Classification (``_arrow_type_str``) is only required where raw types
+    actually differ: a column whose raw type is identical in every file —
+    classifiable or not — needs no cast and passes through untouched.  A
+    column whose raw types DIFFER and include an unclassifiable one fails
+    loud ('not provably identical' takes the safe path), same contract as
+    the drift resolver."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
     groups: dict[tuple, list[str]] = {}
+    arrow_types: dict[tuple, list] = {}
     for fp in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
         schema = pq.read_schema(fp)
-        sig = tuple((f.name, _arrow_type_str(f.type)) for f in schema)
+        sig = tuple((f.name, str(f.type)) for f in schema)
         groups.setdefault(sig, []).append(fp)
+        arrow_types[sig] = [(f.name, f.type) for f in schema]
 
-    union_types: dict[str, str] = {}
+    # per-column raw variants across groups
+    raw_variants: dict[str, set] = {}
     for sig in groups:
-        for name, typ in sig:
-            cur = union_types.get(name)
-            if cur is None or cur == typ:
-                union_types[name] = typ
-            elif (cur, typ) in SAFE_PROMOTIONS:
-                union_types[name] = typ
-            elif (typ, cur) in SAFE_PROMOTIONS:
+        for name, raw in sig:
+            raw_variants.setdefault(name, set()).add(raw)
+
+    # columns with >1 raw variant need a classified union type
+    union_types: dict[str, str] = {}
+    classified: dict[tuple, str | None] = {}
+    for sig in groups:
+        for name, atype in arrow_types[sig]:
+            classified[(name, str(atype))] = _arrow_type_str(atype)
+    for name, variants in raw_variants.items():
+        if len(variants) == 1:
+            continue
+        target: str | None = None
+        for raw in variants:
+            typ = classified[(name, raw)]
+            if typ is None:
+                raise ValueError(
+                    f"files in {path!r} mix types for column {name!r} and "
+                    f"variant {raw!r} is not classifiable — cannot prove a "
+                    f"safe widening"
+                )
+            if target is None or target == typ:
+                target = typ
+            elif (target, typ) in SAFE_PROMOTIONS:
+                target = typ
+            elif (typ, target) in SAFE_PROMOTIONS:
                 pass
             else:
                 raise ValueError(
                     f"files in {path!r} mix incompatible types for column "
-                    f"{name!r}: {cur} vs {typ} — not a safe widening"
+                    f"{name!r}: {target} vs {typ} — not a safe widening"
                 )
+        union_types[name] = target
 
     parts = []
     for sig, files in groups.items():
         df = spark.read.parquet(*files)
-        for name, typ in sig:
-            if union_types[name] != typ:
-                df = df.withColumn(name, F.col(name).cast(union_types[name]))
+        for name, raw in sig:
+            want = union_types.get(name)
+            if want is not None and classified[(name, raw)] != want:
+                df = df.withColumn(name, F.col(name).cast(want))
         parts.append(df)
     out = parts[0]
     for df in parts[1:]:
@@ -780,11 +826,17 @@ def _lineage_keys(uris: list[str]) -> list[str]:
     # progressively lengthen the path suffix until every non-empty path has
     # a unique key — two files may collide on basename AND parent-dir name
     # (a/date=A/data.parquet vs b/date=A/data.parquet), so one fixed level
-    # of disambiguation isn't enough; distinct paths always differ at SOME
-    # depth, so this terminates with unique keys
+    # of disambiguation isn't enough.  Depth is CAPPED at the longest
+    # path's component count: distinct absolute paths differ at some depth,
+    # but os.path.join drops empty components, so '/x/a.parquet' vs
+    # 'x/a.parquet' would yield identical suffixes at EVERY depth and an
+    # uncapped loop would never terminate — at the cap, colliding keys
+    # fall back to the full decoded path (identical full paths are the same
+    # physical file and legitimately share a key).
     keys = {p: os.path.basename(p) for p in paths if p}
+    max_depth = max((len(p.split(os.sep)) for p in keys), default=1)
     depth = 1
-    while len(set(keys.values())) < len(keys):
+    while len(set(keys.values())) < len(keys) and depth < max_depth:
         depth += 1
         seen: dict[str, int] = {}
         for p in keys:
@@ -792,6 +844,13 @@ def _lineage_keys(uris: list[str]) -> list[str]:
         for p in list(keys):
             if seen[keys[p]] > 1:
                 keys[p] = suffix(p, depth)
+    if len(set(keys.values())) < len(keys):
+        final: dict[str, int] = {}
+        for p in keys:
+            final[keys[p]] = final.get(keys[p], 0) + 1
+        for p in list(keys):
+            if final[keys[p]] > 1:
+                keys[p] = p
     return [keys[p] if p else "unpartitioned" for p in paths]
 
 

@@ -617,6 +617,11 @@ def test_lineage_keys_progressive_disambiguation():
     # which is correct for one physical file
     twice = _lineage_keys(["file:///x/a/data.parquet", "/x/a/data.parquet"])
     assert twice[0] == twice[1]
+    # termination edge: absolute vs relative forms share every suffix
+    # (os.path.join drops empty components) — the depth cap must kick in
+    # and fall back to full decoded paths instead of looping forever
+    edge = _lineage_keys(["/x/a.parquet", "x/a.parquet"])
+    assert len(set(edge)) == 2
 
 
 def test_key_column_type_drift_fails_loud(spark, tmp_path, feed):
