@@ -218,21 +218,24 @@ def test_streaming_availablenow_end_to_end(spark, tmp_path, feed):
     assert table.committed_offset_end() == 2999
 
 
-def test_streaming_misaligned_trigger_grain(spark, tmp_path, feed):
+@pytest.mark.parametrize("grain", [1, 3])
+def test_streaming_misaligned_trigger_grain(spark, tmp_path, feed, grain):
     """maxFilesPerTrigger that cuts ACROSS batch-dir boundaries must not lose
     data: write_change_files emits contiguous-LSN files with LSN-ordered
     mtimes, so mtime-ordered admission is LSN-monotone at any grain and the
-    exactly-once watermark only ever skips true redeliveries."""
+    exactly-once watermark only ever skips true redeliveries.  grain=1 is
+    the worst case (every file its own micro-batch); grain=3 is coprime to
+    files_per_batch (every trigger straddles a dir boundary eventually)."""
     write_change_files(
-        feed, str(tmp_path / "mis_in"), n_batches=3, files_per_batch=4
+        feed, str(tmp_path / f"mis_in{grain}"), n_batches=3, files_per_batch=4
     )
-    table = _mk_table(spark, tmp_path)
+    table = _mk_table(spark, tmp_path, f"mis{grain}")
     engine = CdcEngine(table)
     engine.run_streaming(
-        str(tmp_path / "mis_in"),
-        str(tmp_path / "mis_ckpt"),
+        str(tmp_path / f"mis_in{grain}"),
+        str(tmp_path / f"mis_ckpt{grain}"),
         schema=CHANGE_FEED_SCHEMA,
-        max_files_per_trigger=3,  # deliberately coprime to files_per_batch
+        max_files_per_trigger=grain,
     )
     applied = [m for m in engine.metrics_log if not m.get("skipped")]
     assert sum(m["events_in"] for m in applied) == feed.count()
