@@ -9,8 +9,12 @@ Dedup strategies (all semantically identical; tests assert equality):
   conv_id, turn_idx order by lsn desc) = 1``.  One full shuffle of every row of
   the batch; a hot conversation key lands on one task.
 - ``agg``     — ``groupBy(key).agg(max_by(payload, lsn))``.  Same answer, but
-  Catalyst plans it as partial + final hash aggregation, so the hot key is
-  combined map-side before the shuffle.  This is the scale-default.
+  Catalyst plans it as partial + final aggregation: with a free layout the
+  partial half combines hot keys map-side BELOW the exchange; with the
+  keyhash pin (``n_partitions``) the explicit repartition IS the exchange
+  and both halves sit above it — one exchange of raw rows, combine after
+  the wire (the measured one-exchange tradeoff; see lake.merged_frame's
+  plan-shape note).  This is the scale-default.
 - ``salted``  — the explicit two-phase version of ``agg`` for when the payload
   is too wide for map-side combine to help (wide rows blow the hash-agg memory
   budget and spill): add ``salt = pmod(xxhash64(lsn), n_salts)``, take the
@@ -90,7 +94,7 @@ def dedup_max_lsn(
             .drop("_rn")
         )
 
-    payload_cols = [c for c in batch.columns]
+    payload_cols = list(batch.columns)
     payload = F.struct(*[F.col(c) for c in payload_cols])
 
     if strategy == "agg":

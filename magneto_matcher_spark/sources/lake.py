@@ -71,6 +71,16 @@ _SIMPLE_TYPES = {
 #: "bigint").
 SAFE_PROMOTIONS = {("int", "bigint"), ("float", "double")}
 
+# Persist the CoW batch across the touched-bucket probe + merged write
+# (two actions over one lineage).  Measured interleaved A/B (2M-event
+# Zipf feed, 5 batches, local[32], min-of-3): recompute 8.43 s vs persist
+# 9.16 s, recompute faster in every pair — caching the wide rows costs
+# more than re-running the parquet-scan + codegen-normalize lineage.  A
+# caller whose batch lineage is genuinely expensive (remote source,
+# Python stages) should persist before merge() or pass `touched`.  Flip
+# only with a new interleaved measurement.
+_COW_PROBE_PERSIST = False
+
 
 def _type_to_str(dt: T.DataType) -> str:
     return dt.simpleString()
@@ -393,7 +403,7 @@ class LakeTable:
             self._read_manifest(dirty_data, read_schema_id) if dirty_data else empty
         )
         union = dirty_base.withColumn("op", F.lit("U"))
-        overlay = [e for e in deltas + dirty_tombs]
+        overlay = deltas + dirty_tombs
         if overlay:
             union = union.unionByName(
                 self._read_manifest(overlay, read_schema_id, extra_cols=("op",))
@@ -763,24 +773,38 @@ class LakeTable:
                 "merge", s, base_segs=self._segs_of(cur), new_entries=new_entries
             )
 
+        persisted = False
+        if touched is None and _COW_PROBE_PERSIST:
+            # the touched-bucket probe is an ACTION over the full batch
+            # lineage; the merged write below re-executes that lineage.
+            # Persisting to avoid the re-execution was measured SLOWER at
+            # this engine's batch shapes (see _COW_PROBE_PERSIST) — kept
+            # as an opt-in for expensive lineages.
+            batch = batch.persist()
+            persisted = True
         if touched is None:
             touched = [
                 r["_bucket"] for r in batch.select("_bucket").distinct().collect()
             ]
+        try:
+            cur = self.current_snapshot()
+            old_manifest = self.manifest(cur)
+            kept = [e for e in old_manifest if e["bucket"] not in set(touched)]
 
-        cur = self.current_snapshot()
-        old_manifest = self.manifest(cur)
-        kept = [e for e in old_manifest if e["bucket"] not in set(touched)]
-
-        merged = self.merged_frame(batch.drop("_bucket"), touched, op_col=op_col)
-        new_entries = self._write_data_files(
-            self._with_bucket(merged.select(*cols, op_col)),
-            f"snap-{snapshot_id}",
-            split_tombstones_on=op_col,
-            # keyhash: merged_frame pinned its one fused-agg exchange to
-            # n_buckets partitions on the key — already bucket-laid-out
-            pre_partitioned=n_aligned is not None,
-        )
+            merged = self.merged_frame(
+                batch.drop("_bucket"), touched, op_col=op_col
+            )
+            new_entries = self._write_data_files(
+                self._with_bucket(merged.select(*cols, op_col)),
+                f"snap-{snapshot_id}",
+                split_tombstones_on=op_col,
+                # keyhash: merged_frame pinned its one fused-agg exchange to
+                # n_buckets partitions on the key — already bucket-laid-out
+                pre_partitioned=n_aligned is not None,
+            )
+        finally:
+            if persisted:
+                batch.unpersist()
         data_rows = sum(e["rows"] for e in new_entries if e["kind"] == "data")
         tomb_rows = sum(e["rows"] for e in new_entries if e["kind"] == "tombstone")
         s = {
@@ -806,8 +830,17 @@ class LakeTable:
         merge_into_frame): the ``is_target`` tiebreak makes equal-LSN
         redelivery keep the target row (the join's strict ``s.lsn > t.lsn``),
         and when the batch is raw the same aggregation IS the within-batch
-        max-LSN dedup — partial (map-side) aggregation shrinks duplicates
-        before the only shuffle.  The target view includes tombstones so a
+        max-LSN dedup.  Plan-shape note: with the keyhash pin below, the
+        explicit repartition IS the exchange, and the planner hoists BOTH
+        halves of the aggregate above it — rows cross the wire un-combined
+        (no map-side shrink).  That is a measured tradeoff, not an
+        accident: the alternative (combine below a default exchange, then a
+        second exchange to the bucket layout for the write) was the
+        pre-keyhash plan, and the one-exchange form beat it ~1.6x on delta
+        writes at CDC duplicate ratios; batches hot enough for reducer skew
+        auto-route to the salted strategy, which spreads each hot key over
+        n_salts reducers before the final exchange.  The target view
+        includes tombstones so a
         stale 'U' below a delete's LSN loses the comparison instead of
         resurrecting the key; delete winners stay in the output (op='D') for
         the write to route into tombstone files in the same job.
@@ -1059,22 +1092,41 @@ class LakeTable:
 
         n_files = n_segs = 0
         if delete_orphans:
+            emptied: set[str] = set()
             for rel in dead_files:
                 p = os.path.join(self.root, rel)
                 if os.path.exists(p):
                     os.remove(p)
                     n_files += 1
+                    emptied.add(os.path.dirname(p))
             for rel in dead_segs:
                 p = os.path.join(self.root, rel)
                 if os.path.exists(p):
                     os.remove(p)
                     n_segs += 1
                 self._seg_cache.pop(rel, None)
-        if delete_orphans:
+            # prune dirs the deletions emptied (plus their write markers):
+            # each commit leaves data/<snap>/_bucket=N/ trees and _SUCCESS
+            # files behind — without this, directory/inode count grows
+            # O(commits), the exact footprint this method exists to bound.
+            # Walk upward while dirs stay empty, stopping at the table root.
+            root_real = os.path.realpath(self.root)
+            for d in sorted(emptied, key=len, reverse=True):
+                while os.path.realpath(d) != root_real and os.path.isdir(d):
+                    left = os.listdir(d)
+                    markers = [
+                        f for f in left
+                        if f == "_SUCCESS" or f.startswith(".")
+                    ]
+                    if len(markers) != len(left):
+                        break  # dir still holds live content
+                    for f in markers:
+                        os.remove(os.path.join(d, f))
+                    os.rmdir(d)
+                    d = os.path.dirname(d)
             # superseded metadata versions: every commit leaves a v{n}.json
-            # behind — without this sweep the metadata dir grows O(commits),
-            # the exact footprint this method exists to bound.  The current
-            # version (just written, referenced by version-hint) is kept.
+            # behind — same O(commits) footprint.  The current version
+            # (just written, referenced by version-hint) is kept.
             meta_dir = os.path.join(self.root, "metadata")
             cur_v = self.meta["version"]
             for fname in os.listdir(meta_dir):
@@ -1107,12 +1159,15 @@ class LakeTable:
         the narrow physical type and are cast up at read).  No data rewrite
         (Iceberg evolve semantics).
 
-        Promotion of key or LSN columns is REFUSED: unlike Iceberg's spec
-        bucket transform (which hashes int as long precisely so promotion
-        can't move rows), this table's keyhash transform uses Spark's
-        ``F.hash``, whose int32 and int64 hashes differ — promoting a key
-        column would silently re-bucket every existing row.  ``promotes``
-        keys refer to post-rename names."""
+        Promotion of key, LSN, or bucket-source columns is REFUSED: unlike
+        Iceberg's spec bucket transform (which hashes int as long precisely
+        so promotion can't move rows), this table's transforms use Spark's
+        ``F.hash``/``xxhash64``, whose int32 and int64 hashes differ —
+        promoting such a column would silently re-bucket every existing
+        row.  RENAMING them is fine (same field ID, same data): the table's
+        name-keyed metadata (``key``, ``lsn_column``,
+        ``partition_spec.source``) follows the rename.  ``promotes`` keys
+        refer to post-rename names."""
         renames = renames or {}
         adds = adds or []
         promotes = promotes or {}
@@ -1139,7 +1194,20 @@ class LakeTable:
         ]
         if promotes:
             by_name = {f["name"]: f for f in new_fields}
-            protected = set(self.key) | {self.lsn_col}
+            # the bucket-source column is protected for the same reason as
+            # the key: xxhash64/F.hash are not width-stable, so promoting
+            # the column a 'bucket'-transform table partitions on would
+            # silently re-bucket every existing row
+            protected = (
+                set(renames.get(k, k) for k in self.key)
+                | {renames.get(self.lsn_col, self.lsn_col)}
+                | {
+                    renames.get(
+                        self.meta["partition_spec"]["source"],
+                        self.meta["partition_spec"]["source"],
+                    )
+                }
+            )
             promotes = dict(promotes)  # canonicalized in place for the summary
             for name, new_type in promotes.items():
                 f = by_name.get(name)
@@ -1147,8 +1215,9 @@ class LakeTable:
                     raise KeyError(f"promote target {name!r} not in schema")
                 if name in protected:
                     raise ValueError(
-                        f"cannot promote key/LSN column {name!r}: the keyhash "
-                        f"bucket transform is not width-stable (see evolve docs)"
+                        f"cannot promote key/LSN/bucket-source column "
+                        f"{name!r}: the bucket transforms are not "
+                        f"width-stable (see evolve docs)"
                     )
                 # canonicalize to simpleString ("long" and "bigint" both OK in)
                 new_type_c = _type_to_str(_str_to_type(new_type))
@@ -1169,6 +1238,17 @@ class LakeTable:
         self.meta["schemas"].append({"schema_id": new_schema_id, "fields": new_fields})
         self.meta["current_schema_id"] = new_schema_id
         self.meta["last_field_id"] = last_id
+        # renaming a key / LSN / bucket-source column is legal (same field
+        # ID, same data) — but every piece of table metadata that refers to
+        # the column BY NAME must follow the rename, or the next merge/read
+        # groupBys a name that no longer exists and the table is bricked
+        if renames:
+            self.meta["key"] = [renames.get(k, k) for k in self.meta["key"]]
+            self.meta["lsn_column"] = renames.get(
+                self.meta["lsn_column"], self.meta["lsn_column"]
+            )
+            spec = self.meta["partition_spec"]
+            spec["source"] = renames.get(spec["source"], spec["source"])
 
         cur = self.current_snapshot()
         s = {

@@ -781,12 +781,24 @@ def _scan_stats(
         df.groupBy(F.input_file_name().alias("_src"))
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(F.col(lsn_col)).alias("nn"),
             F.min(lsn_col).alias("lo"),
             F.max(lsn_col).alias("hi"),
         )
         .collect()
     )
     n = sum(r["n"] for r in rows)
+    n_null = n - sum(r["nn"] for r in rows)
+    if 0 < n_null < n:
+        # a PARTIALLY-null LSN column is a malformed feed: the null rows
+        # can neither be ordered nor watermarked, and letting them through
+        # silently drops or corrupts them downstream (max_by/merge treat
+        # null as smallest).  All-null keeps the existing contract: the
+        # caller fail-louds on hi is None.
+        raise ValueError(
+            f"batch has {n_null} of {n} rows with null '{lsn_col}' — "
+            f"cannot order or watermark them"
+        )
     nonnull = [r for r in rows if r["lo"] is not None]
     lo = min((r["lo"] for r in nonnull), default=None)
     hi = max((r["hi"] for r in nonnull), default=None)
@@ -871,20 +883,24 @@ def _footer_stats(
     if not files:
         return (0, None, None, {})
 
-    def _one(f: str) -> tuple[int, int | None, int | None] | None:
+    def _one(f: str) -> tuple[int, int | None, int | None, int] | None:
         md = pq.ParquetFile(f).metadata
         try:
             idx = md.schema.names.index(lsn_col)
         except ValueError:
             return None
         f_lo = f_hi = None
+        f_null = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
                 return None
+            if st.null_count is None:
+                return None  # can't prove null-freeness → scan decides
+            f_null += st.null_count
             f_lo = st.min if f_lo is None else min(f_lo, st.min)
             f_hi = st.max if f_hi is None else max(f_hi, st.max)
-        return (md.num_rows, f_lo, f_hi)
+        return (md.num_rows, f_lo, f_hi, f_null)
 
     # footer reads release the GIL — parallelize the per-file scan so the
     # driver-serial stats stretch doesn't grow with file count per commit
@@ -897,17 +913,27 @@ def _footer_stats(
         results = [_one(files[0])]
 
     n = 0
+    n_null = 0
     lo = hi = None
     per_file: dict[str, list[int]] = {}
     for f, res in zip(files, results):
         if res is None:
             return None  # missing stats → caller falls back to a scan
-        f_rows, f_lo, f_hi = res
+        f_rows, f_lo, f_hi, f_null = res
         n += f_rows
+        n_null += f_null
         if f_lo is not None:
             per_file[os.path.basename(f)] = [int(f_lo), int(f_hi)]
             lo = f_lo if lo is None else min(lo, f_lo)
             hi = f_hi if hi is None else max(hi, f_hi)
+    if 0 < n_null < n:
+        # same contract as _scan_stats: partially-null LSNs are a
+        # malformed feed — null rows can't be ordered or watermarked, and
+        # downstream max_by/merge would silently drop or corrupt them
+        raise ValueError(
+            f"batch {path!r} has {n_null} of {n} rows with null "
+            f"'{lsn_col}' — cannot order or watermark them"
+        )
     return (n, lo, hi, per_file)
 
 

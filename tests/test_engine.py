@@ -627,6 +627,26 @@ def test_lineage_keys_progressive_disambiguation():
     assert len(set(edge)) == 2
 
 
+def test_partially_null_lsn_fails_loud(spark, tmp_path, feed):
+    """A batch where SOME rows carry a null LSN must raise, not silently
+    drop/corrupt those rows downstream (max_by/merge treat null as
+    smallest).  Covered on both stats paths: the aggregation scan
+    (apply_batch on a frame) and the parquet-footer reader (replay)."""
+    dirty = feed.withColumn(
+        "lsn", F.when(F.col("lsn") == 7, F.lit(None)).otherwise(F.col("lsn"))
+    )
+    table = _mk_table(spark, tmp_path, "nl")
+    engine = CdcEngine(table)
+    with pytest.raises(ValueError, match="null 'lsn'"):
+        engine.apply_batch(dirty, source_desc="scan-path")
+
+    dirty.coalesce(2).write.parquet(str(tmp_path / "nl_feed" / "batch_00000"))
+    with pytest.raises(ValueError, match="null 'lsn'"):
+        CdcEngine(_mk_table(spark, tmp_path, "nl2")).replay(
+            [str(tmp_path / "nl_feed" / "batch_00000")]
+        )
+
+
 def test_key_column_type_drift_fails_loud(spark, tmp_path, feed):
     """A WIDER key/LSN column in the batch must raise, not silently wrap:
     the table cannot promote key widths (bucket-hash stability), and the

@@ -614,6 +614,80 @@ def test_compact_is_partial_only_dirty_buckets(spark, tmp_path):
     assert state[("c1", 0)] == "new" and len(state) == 16
 
 
+def test_evolve_key_rename_tracks_metadata(spark, table):
+    """Renaming a key/LSN column must update the table's name-keyed
+    metadata (key, lsn_column, partition_spec.source) — the old behavior
+    left them stale and bricked every subsequent merge/read."""
+    b1 = spark.createDataFrame(
+        [_ev(1, "I", "c1", 0, "a"), _ev(2, "I", "c2", 0, "b")], CHANGE_FEED_SCHEMA
+    )
+    table.merge(dedup_max_lsn(b1))
+    table.evolve(renames={"conv_id": "conversation_id", "lsn": "log_seq"})
+    assert table.key == ["conversation_id", "turn_idx"]
+    assert table.lsn_col == "log_seq"
+    assert table.meta["partition_spec"]["source"] == "conversation_id"
+    # the table still merges and reads after the rename
+    b2 = spark.createDataFrame(
+        [_ev(3, "U", "c1", 0, "a2")], CHANGE_FEED_SCHEMA
+    ).withColumnRenamed("conv_id", "conversation_id").withColumnRenamed(
+        "lsn", "log_seq"
+    )
+    table.merge(
+        dedup_max_lsn(b2, key=table.key, lsn_col="log_seq")
+    )
+    state = {
+        (r["conversation_id"], r["turn_idx"]): r["text"]
+        for r in table.read().collect()
+    }
+    assert state == {("c1", 0): "a2", ("c2", 0): "b"}
+    # promotion of the renamed key is still refused under its new name
+    with pytest.raises(ValueError, match="conversation_id"):
+        table.evolve(promotes={"conversation_id": "long"})
+
+
+def test_evolve_bucket_source_promotion_refused(spark, tmp_path):
+    """A 'bucket'-transform table's source column is protected from
+    promotion even when it is not part of the key — xxhash64 is not
+    width-stable, so widening it would silently re-bucket every row."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("user_id", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "bsrc"), schema, key=["k"], lsn_col="seq",
+        n_buckets=4, bucket_col="user_id",
+    )
+    with pytest.raises(ValueError, match="user_id"):
+        t.evolve(promotes={"user_id": "long"})
+
+
+def test_expire_prunes_emptied_dirs(spark, tmp_path):
+    """Orphan deletion must also remove the dirs (and _SUCCESS markers) it
+    empties — at one commit per micro-batch the inode count would
+    otherwise grow O(commits), the footprint expiry exists to bound."""
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "gc"), TABLE_SCHEMA, key=TRANSCRIPT_KEY, n_buckets=2
+    )
+    for i in range(4):
+        b = spark.createDataFrame(
+            [_ev(10 * i + 1, "U", "c1", 0, f"v{i}")], CHANGE_FEED_SCHEMA
+        )
+        t.merge(dedup_max_lsn(b))
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == 3
+    data_root = os.path.join(t.root, "data")
+    for dirpath, dirnames, filenames in os.walk(data_root):
+        live = [f for f in filenames if not f.startswith(".") and f != "_SUCCESS"]
+        assert dirnames or live, f"empty leftover dir: {dirpath}"
+    # the kept snapshot still reads
+    assert t.read().count() == 1
+
+
 def test_evolve_rejects_colliding_renames(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "ev"), TABLE_SCHEMA, key=TRANSCRIPT_KEY, n_buckets=4
