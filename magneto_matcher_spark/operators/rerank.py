@@ -173,17 +173,24 @@ def mock_llm_scorer(src_col: str, src_samples: list[str], candidates: list[tuple
     """Deterministic stand-in for the chat call.  Mirrors the reference's
     prompt construction (magneto.py:142-147: column NAME + up to 10 SAMPLES),
     so the samples measurably change the output: score = mean of the
-    name-name fuzzy ratio and a sample-evidence term (fraction of sample
-    tokens that fuzzy-match the candidate name).  Formatted through the codec
-    so the parser is exercised end-to-end."""
-    from magneto_matcher_spark.operators.strsim import fuzzy_ratio
+    name-name similarity and a sample-evidence term (fraction of sample
+    tokens that match the candidate name).  Formatted through the codec
+    so the parser is exercised end-to-end.
+
+    The similarity is :func:`~magneto_matcher_spark.operators.strsim.
+    levenshtein_ratio` — SQL-expressible (``1 - levenshtein/greatest(len)``),
+    so the whole mock-rerank round trip (score → ``Name(0.95); …`` codec →
+    parse) has an exact DuckDB oracle twin (``r3_llm_rerank_mock``); the
+    round-3 fuzzy_ratio flavor had none (difflib has no SQL equivalent)."""
+    from magneto_matcher_spark.operators.strsim import levenshtein_ratio
 
     def score(tgt: str) -> float:
-        name_part = fuzzy_ratio(src_col.lower(), tgt.lower())
+        name_part = levenshtein_ratio(src_col.lower(), tgt.lower())
         if not src_samples:
             return round(name_part, 4)
         hits = sum(
-            1 for s in src_samples if fuzzy_ratio(str(s).lower(), tgt.lower()) >= 0.5
+            1 for s in src_samples
+            if levenshtein_ratio(str(s).lower(), tgt.lower()) >= 0.5
         )
         return round(0.5 * name_part + 0.5 * hits / len(src_samples), 4)
 

@@ -3,11 +3,18 @@ values, as ONE generic grouped-count → scored → top-n pattern.
 
 Reference: ``get_samples`` (algorithms/magneto/magneto/utils/utils.py:212-308),
 ``fibonacci_hash`` (utils.py:207-209).  All reference randomness is replaced by
-seeded ``xxhash64`` arithmetic so every mode is deterministic at any
-parallelism (FIXTURES.md determinism rules).  Documented divergences:
+seeded *cross-engine* hash arithmetic so every mode is deterministic at any
+parallelism (FIXTURES.md determinism rules) AND reproducible by the DuckDB
+oracle (round-4 verdict: xxhash64 keys blocked their own verification — DuckDB
+lacks xxhash64, but both engines agree bit-for-bit on
+``md5 → first 15 hex chars → BIGINT``).  Documented divergences:
 
-- mmh3 is unavailable → the value hash is ``xxhash64(value)`` (still a stable
-  64-bit hash; the fibonacci golden-ratio scrambling is kept).
+- mmh3 is unavailable → the value hash is the md5-derived 60-bit integer of
+  ``str(seed) || value`` (:func:`_stable_hash64`; still a stable hash, the
+  fibonacci golden-ratio scrambling is kept).  md5 is ~3× slower per value
+  than xxhash64 but sampling hashes *distinct values per column* (metadata
+  scale), never the 100 TB row stream — the dedup/ANN hot paths deliberately
+  stay on xxhash64 (operators/dedup.py, operators/embedding.py).
 - 'random' uses seeded hash-order sampling instead of ``np.random.choice``
   (reproducible, partition-independent).
 - 'mixed' strides over *sorted* uniques; the reference strides over uniques in
@@ -40,17 +47,31 @@ MODES = (
     "consistent_sampling",
 )
 
+def _stable_hash64(value_col, seed: int = 42):
+    """Cross-engine 60-bit hash: first 15 hex chars of ``md5(seed || value)``
+    as a BIGINT.  DuckDB twin (bit-identical, verified):
+    ``('0x' || substr(md5('<seed>' || value), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), value_col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def _unit_hash(value_col, seed: int = 42):
     """Deterministic hash of a value into (0, 1]: fibonacci scrambling of
-    xxhash64, the Spark stand-in for fibonacci_hash(mmh3.hash(str(v), 42)).
+    :func:`_stable_hash64`, the Spark stand-in for
+    fibonacci_hash(mmh3.hash(str(v), 42)).
 
     The hash is bounded below 2^32 BEFORE the golden-ratio multiply (matching
-    the reference's 32-bit mmh3 input): for a ~2^61 hash the double-precision
+    the reference's 32-bit mmh3 input): for a ~2^60 hash the double-precision
     product's ULP exceeds 1, so its fractional part is almost always exactly
     0.0 and every value would collapse to the sentinel.  At 2^32 the product
     is ≤ ~2.7e9 whose ULP is ~4.8e-7 — the fractional part keeps ~21
-    significant bits, plenty to order samples deterministically."""
-    h32 = F.pmod(F.xxhash64(F.lit(seed), value_col), F.lit(1 << 32)).cast("double")
+    significant bits, plenty to order samples deterministically.
+
+    DuckDB twin (the int→double cast must be explicit or DuckDB multiplies in
+    DECIMAL and diverges in the 7th decimal):
+    ``fmod(CAST(h % 4294967296 AS DOUBLE) * 0.6180339887498949, 1.0)``."""
+    h32 = F.pmod(_stable_hash64(value_col, seed), F.lit(1 << 32)).cast("double")
     frac = (h32 * F.lit(PHI_FRACTION)) % F.lit(1.0)
     # avoid exact zero (division by it in priority mode)
     return F.when(frac == 0.0, F.lit(1e-18)).otherwise(frac)
@@ -129,7 +150,7 @@ def samples_from_counts(
 
     if mode == "random":
         order = by_col.orderBy(
-            F.xxhash64(F.lit(seed), F.col("value")), F.col("value")
+            _stable_hash64(F.col("value"), seed), F.col("value")
         )
         picked = counts.withColumn("_rn", F.row_number().over(order)).filter(
             small | (F.col("_rn") <= n)

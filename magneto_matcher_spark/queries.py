@@ -364,8 +364,110 @@ def w5_common_prefix(spark, sf_dir):
 
 
 # ===========================================================================
-# sampling family (SA1-SA6)
+# sampling family (SA1-SA6).  Round 5: the seeded modes are keyed on an
+# md5-derived 60-bit hash (operators/sampling.py:_stable_hash64) precisely so
+# these oracles can exist — the SQL fragments below are the DuckDB twins of
+# _stable_hash64/_unit_hash and MUST mirror their arithmetic exactly
+# (incl. the explicit ::DOUBLE cast before the golden-ratio multiply:
+# DuckDB otherwise multiplies in DECIMAL and diverges in the 7th decimal).
 # ===========================================================================
+
+_SA_SEED = 42
+
+
+def _sa_h64_sql(col: str = "value", seed: int = _SA_SEED) -> str:
+    """DuckDB twin of sampling._stable_hash64 (bit-identical, probe-verified)."""
+    return f"('0x'||substr(md5('{seed}'||{col}),1,15))::BIGINT"
+
+
+def _sa_uhash_sql(col: str = "value", seed: int = _SA_SEED) -> str:
+    """DuckDB twin of sampling._unit_hash."""
+    frac = (
+        f"fmod(CAST({_sa_h64_sql(col, seed)} % 4294967296 AS DOUBLE)"
+        f" * 0.6180339887498949, 1.0)"
+    )
+    return f"(CASE WHEN {frac} = 0.0 THEN 1e-18 ELSE {frac} END)"
+
+
+#: (col_name, value, cnt) over documents.lang + documents.source — the shared
+#: fixture of sa4/sa5/sa6/sampling_all_modes (Spark side: value_counts()).
+_DOC_COUNTS_CTE = """
+    WITH counts AS (
+      SELECT 'lang' AS col_name, lang AS value, count(*) AS cnt
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      UNION ALL
+      SELECT 'source', source, count(*)
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    )
+"""
+
+
+def _sa_order_sql(mode: str) -> str:
+    """Selection-ranking ORDER BY of one sampling mode (DuckDB twin of
+    samples_from_counts' window orderings)."""
+    u, h = _sa_uhash_sql(), _sa_h64_sql()
+    return {
+        "frequent": "cnt DESC, value",
+        "random": f"{h}, value",
+        "weighted": f"-ln({u})/cnt, value",
+        "priority_sampling": f"cnt/{u} DESC, value",
+        "consistent_sampling": f"{u} DESC, value",
+    }[mode]
+
+
+def _sa_mode_sql(mode: str, n: int) -> str:
+    """One mode's (mode, col_name, pos, value) SELECT over counts(col_name,
+    value, cnt).  pos reproduces the Spark output-array position: sorted-by-
+    value for random/frequent/mixed/weighted, priority order (value order in
+    the ≤n-uniques whole-set case) for priority/consistent — the same
+    sort_key CASE the Spark side builds in _collect_by_priority."""
+    if mode == "mixed":
+        n_freq, n_div = n // 2, n - n // 2
+        stride = f"greatest(1, tu // {n_div})"
+        return f"""
+    SELECT 'mixed' AS mode, col_name,
+           row_number() OVER (PARTITION BY col_name ORDER BY value) - 1 AS pos,
+           value
+    FROM (
+      SELECT col_name, value FROM (
+        SELECT col_name, value, cnt,
+               count(*) OVER (PARTITION BY col_name) AS tu,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY cnt DESC, value) AS fr,
+               row_number() OVER (PARTITION BY col_name ORDER BY value) AS vr
+        FROM counts
+      ) WHERE tu <= {n} OR fr <= {n_freq}
+         OR ((vr - 1) % {stride} = 0 AND (vr - 1) // {stride} < {n_div})
+    )"""
+    order = _sa_order_sql(mode)
+    if mode in ("priority_sampling", "consistent_sampling"):
+        pr = "cnt/" + _sa_uhash_sql() if mode == "priority_sampling" else _sa_uhash_sql()
+        return f"""
+    SELECT '{mode}' AS mode, col_name,
+           row_number() OVER (PARTITION BY col_name
+             ORDER BY (CASE WHEN tu <= {n} THEN 0.0 ELSE -({pr}) END), value)
+             - 1 AS pos,
+           value
+    FROM (
+      SELECT col_name, value, cnt, tu FROM (
+        SELECT col_name, value, cnt,
+               count(*) OVER (PARTITION BY col_name) AS tu,
+               row_number() OVER (PARTITION BY col_name ORDER BY {order}) AS rn
+        FROM counts
+      ) WHERE tu <= {n} OR rn <= {n}
+    )"""
+    return f"""
+    SELECT '{mode}' AS mode, col_name,
+           row_number() OVER (PARTITION BY col_name ORDER BY value) - 1 AS pos,
+           value
+    FROM (
+      SELECT col_name, value FROM (
+        SELECT col_name, value,
+               count(*) OVER (PARTITION BY col_name) AS tu,
+               row_number() OVER (PARTITION BY col_name ORDER BY {order}) AS rn
+        FROM counts
+      ) WHERE tu <= {n} OR rn <= {n}
+    )"""
 
 @q(
     "sa2_frequent",
@@ -413,7 +515,19 @@ def sa3_mixed(spark, sf_dir):
     return out.select(F.explode("samples").alias("value")).distinct()
 
 
-@q("sa5_priority")  # xxhash64-based: rows-only
+@q(
+    "sa5_priority",
+    _DOC_COUNTS_CTE
+    + f"""
+    SELECT col_name, value FROM (
+      SELECT col_name, value,
+             count(*) OVER (PARTITION BY col_name) AS tu,
+             row_number() OVER (PARTITION BY col_name
+               ORDER BY {_sa_order_sql("priority_sampling")}) AS rn
+      FROM counts
+    ) WHERE tu <= 5 OR rn <= 5
+    """,
+)
 def sa5_priority(spark, sf_dir):
     from magneto_matcher_spark.operators.sampling import sample_columns
 
@@ -423,7 +537,19 @@ def sa5_priority(spark, sf_dir):
     )
 
 
-@q("sa6_consistent")  # xxhash64-based: rows-only
+@q(
+    "sa6_consistent",
+    _DOC_COUNTS_CTE
+    + f"""
+    SELECT col_name, value FROM (
+      SELECT col_name, value,
+             count(*) OVER (PARTITION BY col_name) AS tu,
+             row_number() OVER (PARTITION BY col_name
+               ORDER BY {_sa_order_sql("consistent_sampling")}) AS rn
+      FROM counts
+    ) WHERE tu <= 5 OR rn <= 5
+    """,
+)
 def sa6_consistent(spark, sf_dir):
     from magneto_matcher_spark.operators.sampling import sample_columns
 
@@ -433,7 +559,20 @@ def sa6_consistent(spark, sf_dir):
     )
 
 
-@q("sa1_random_seeded")  # xxhash64-based: rows-only
+@q(
+    "sa1_random_seeded",
+    f"""
+    WITH counts AS (
+      SELECT event_type AS value, count(*) AS cnt FROM events
+      WHERE event_type IS NOT NULL GROUP BY event_type
+    )
+    SELECT value FROM (
+      SELECT value, count(*) OVER () AS tu,
+             row_number() OVER (ORDER BY {_sa_order_sql("random")}) AS rn
+      FROM counts
+    ) WHERE tu <= 3 OR rn <= 3
+    """,
+)
 def sa1_random_seeded(spark, sf_dir):
     from magneto_matcher_spark.operators.sampling import sample_columns
 
@@ -441,6 +580,42 @@ def sa1_random_seeded(spark, sf_dir):
     return sample_columns(ev, n=3, mode="random").select(
         F.explode("samples").alias("value")
     )
+
+
+_SAMPLING_ALL_ORACLE = _DOC_COUNTS_CTE + "\n    UNION ALL\n".join(
+    # SAME mode list the Spark-side query iterates — one source, no drift
+    _sa_mode_sql(m, 5)
+    for m in (
+        "random", "frequent", "mixed", "weighted",
+        "priority_sampling", "consistent_sampling",
+    )
+)
+
+
+@q("sampling_all_modes", _SAMPLING_ALL_ORACLE)
+def sampling_all_modes(spark, sf_dir):
+    """All 6 §2.6 sampling modes as (mode, col_name, pos, value) rows — one
+    driver slot for the whole family (consolidation pattern of cleaning_all).
+    pos pins the OUTPUT-ARRAY ORDER, so the oracle verifies not just which
+    values each mode picks but how each mode orders them (sorted vs priority
+    order vs whole-set)."""
+    from magneto_matcher_spark.operators.sampling import (
+        MODES,
+        samples_from_counts,
+        value_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    counts = value_counts(docs)
+    out = None
+    for m in MODES:
+        s = samples_from_counts(counts, n=5, mode=m).select(
+            F.lit(m).alias("mode"),
+            "col_name",
+            F.posexplode("samples").alias("pos", "value"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
 
 
 # ===========================================================================
@@ -692,6 +867,31 @@ def m4_mutual_best(spark, sf_dir):
 
     matches, _ = _matches_gt(spark)
     return mutual_best(matches).select("src_col", "tgt_col", "score")
+
+
+@q(
+    "m4_assignments",
+    # consolidation of the two M4 strategies (round 5, one window slot):
+    # the per-strategy oracles above stay single-sourced — this is their union
+    f"""
+    SELECT 'one_to_one' AS kind, * FROM ({ORACLES["m4_one_to_one"]})
+    UNION ALL
+    SELECT 'mutual_best' AS kind, * FROM ({ORACLES["m4_mutual_best"]})
+    """,
+)
+def m4_assignments(spark, sf_dir):
+    """M4 one-to-one (greedy by score) + mutual-best in one frame, tagged by
+    ``kind`` — frees a driver-window slot without losing either verdict."""
+    from magneto_matcher_spark.operators.metrics import mutual_best, one_to_one
+
+    matches, _ = _matches_gt(spark)
+    o = one_to_one(matches).select(
+        F.lit("one_to_one").alias("kind"), "src_col", "tgt_col", "score"
+    )
+    m = mutual_best(matches).select(
+        F.lit("mutual_best").alias("kind"), "src_col", "tgt_col", "score"
+    )
+    return o.unionByName(m)
 
 
 @q(
@@ -1421,11 +1621,67 @@ def dedup_embedding_lsh(spark, sf_dir):
     ).select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
 
 
-@q("r1_bp_rerank")
+# Independent DuckDB twin of Hungarian + BP rescale for the 3×3 fixture:
+# EXHAUSTIVE search over all 3! = 6 one-to-one assignments (missing pairs
+# score 0, ties impossible here — totals are distinct), then the R2 rescale
+# ((min(assigned) − 0.01) / max(unassigned)) applied to non-assigned pairs.
+# Brute force is a genuinely independent algorithm, not a copied expected
+# output — it verifies the vendored O(n³) Hungarian finds the true optimum.
+_R1_ORACLE = """
+    WITH cands(src_col, tgt_col, score) AS (VALUES
+      ('a','x',0.9), ('a','y',0.85), ('b','y',0.8), ('b','x',0.75),
+      ('c','z',0.6), ('c','x',0.55)),
+    sc AS (SELECT src_col, tgt_col, CAST(score AS DOUBLE) AS score FROM cands),
+    perms(t1, t2, t3) AS (VALUES
+      ('x','y','z'), ('x','z','y'), ('y','x','z'),
+      ('y','z','x'), ('z','x','y'), ('z','y','x')),
+    totals AS (
+      SELECT t1, t2, t3,
+        coalesce((SELECT score FROM sc WHERE src_col='a' AND tgt_col=t1), 0)
+      + coalesce((SELECT score FROM sc WHERE src_col='b' AND tgt_col=t2), 0)
+      + coalesce((SELECT score FROM sc WHERE src_col='c' AND tgt_col=t3), 0)
+        AS total
+      FROM perms
+    ),
+    best AS (SELECT t1, t2, t3 FROM totals ORDER BY total DESC LIMIT 1),
+    assigned AS (
+      SELECT sc.src_col, sc.tgt_col, sc.score
+      FROM sc JOIN (
+        SELECT 'a' AS src_col, t1 AS tgt_col FROM best
+        UNION ALL SELECT 'b', t2 FROM best
+        UNION ALL SELECT 'c', t3 FROM best
+      ) USING (src_col, tgt_col)
+      WHERE sc.score > 0
+    ),
+    unassigned AS (
+      SELECT score FROM sc
+      WHERE NOT EXISTS (SELECT 1 FROM assigned a
+                        WHERE a.src_col = sc.src_col
+                          AND a.tgt_col = sc.tgt_col)
+    ),
+    f AS (
+      SELECT CASE
+        WHEN (SELECT count(*) FROM assigned) = 0 THEN 1.0
+        WHEN coalesce((SELECT max(score) FROM unassigned), 0) <= 0 THEN 1.0
+        ELSE ((SELECT min(score) FROM assigned) - 0.01)
+             / (SELECT max(score) FROM unassigned)
+      END AS factor
+    )
+    SELECT sc.src_col, sc.tgt_col,
+           round(CASE WHEN a.src_col IS NOT NULL THEN sc.score
+                      ELSE sc.score * f.factor END, 6) AS score
+    FROM sc
+    LEFT JOIN assigned a
+      ON sc.src_col = a.src_col AND sc.tgt_col = a.tgt_col
+    CROSS JOIN f
+"""
+
+
+@q("r1_bp_rerank", _R1_ORACLE)
 def r1_bp_rerank(spark, sf_dir):
     from magneto_matcher_spark.operators.rerank import bp_rerank
 
-    cands = _ldf(spark, 
+    cands = _ldf(spark,
         [("a", "x", 0.9), ("a", "y", 0.85), ("b", "y", 0.8), ("b", "x", 0.75),
          ("c", "z", 0.6), ("c", "x", 0.55)],
         ["src_col", "tgt_col", "score"],
@@ -1435,7 +1691,36 @@ def r1_bp_rerank(spark, sf_dir):
     )
 
 
-@q("r3_llm_rerank_mock")
+# DuckDB twin of the deterministic mock LLM scorer (rerank.mock_llm_scorer):
+# score = round(0.5 * lev_ratio(src, tgt) + 0.5 * frac-of-samples with
+# lev_ratio(sample, tgt) >= 0.5, 4).  The Spark side additionally round-trips
+# every score through the ``Name(0.95); …`` response codec + parser — a
+# "%.4f"-format/parse identity on already-4dp-rounded floats, so the oracle
+# verifies the whole parse loop returned the scorer's numbers unchanged.
+_R3_LEV = (
+    "(1.0 - levenshtein(lower({a}), lower({b})) * 1.0 /"
+    " greatest(len(lower({a})), len(lower({b}))))"
+)
+
+_R3_ORACLE = f"""
+    WITH cands(src_col, tgt_col) AS (VALUES
+      ('gender','sex'), ('gender','comments'),
+      ('patient_id','PatientID'), ('patient_id','notes')),
+    samples(src_col, s) AS (VALUES
+      ('gender','male'), ('gender','female'),
+      ('patient_id','p00001'), ('patient_id','p00002'))
+    SELECT c.src_col, c.tgt_col,
+      round(0.5 * {_R3_LEV.format(a="c.src_col", b="c.tgt_col")}
+          + 0.5 * (SELECT avg(CASE WHEN
+                     {_R3_LEV.format(a="s.s", b="c.tgt_col")} >= 0.5
+                     THEN 1.0 ELSE 0.0 END)
+                   FROM samples s WHERE s.src_col = c.src_col),
+            4) AS score
+    FROM cands c
+"""
+
+
+@q("r3_llm_rerank_mock", _R3_ORACLE)
 def r3_llm_rerank_mock(spark, sf_dir):
     from magneto_matcher_spark.operators.rerank import llm_rerank
 
@@ -1517,7 +1802,38 @@ def mm_decode_features(spark, sf_dir):
     )
 
 
-@q("mm_frame_sample")
+# DuckDB twin of synthesize_media + sample_frames(every_n=2): rebuild the
+# fake-payload STRING (header = 'FAKE' + kind initial + zero-padded w/h;
+# body = the doc text) and keep chars at even 0-based positions for video —
+# regexp '(?s)(.).' → '\\1' keeps positions 0,2,4,… incl. a trailing odd char,
+# exactly the Spark transform-index filter.  strlen() = BYTE length (the
+# Spark side measures the utf-8 binary payload); md5(varchar) hashes the same
+# utf-8 bytes as Spark's md5(binary), pinning payload CONTENT not just size.
+_MM_FRAME_ORACLE = r"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(doc_id % 64 + 1 AS INT) AS w,
+             CAST(doc_id % 48 + 1 AS INT) AS h,
+             text
+      FROM documents WHERE doc_id < 50
+    ),
+    s AS (
+      SELECT media_id, kind,
+        'FAKE' || upper(substr(kind, 1, 1))
+          || lpad(CAST(w AS VARCHAR), 5, '0') || lpad(CAST(h AS VARCHAR), 5, '0')
+          || CASE WHEN kind = 'video'
+                  THEN regexp_replace(text, '(?s)(.).', '\1', 'g')
+                  ELSE text END AS payload
+      FROM m
+    )
+    SELECT media_id, kind, strlen(payload) AS payload_len,
+           md5(payload) AS payload_md5
+    FROM s
+"""
+
+
+@q("mm_frame_sample", _MM_FRAME_ORACLE)
 def mm_frame_sample(spark, sf_dir):
     from magneto_matcher_spark.operators.multimodal import (
         sample_frames,
@@ -1527,7 +1843,10 @@ def mm_frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = synthesize_media(docs)
     return sample_frames(media, every_n=2).select(
-        "media_id", "kind", F.length("payload").alias("payload_len")
+        "media_id",
+        "kind",
+        F.length("payload").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
@@ -1788,7 +2107,19 @@ def w6_ordered_head(spark, sf_dir):
     )
 
 
-@q("sa4_weighted")  # seeded-hash weighted reservoir: rows-only
+@q(
+    "sa4_weighted",
+    _DOC_COUNTS_CTE
+    + f"""
+    SELECT col_name, value FROM (
+      SELECT col_name, value,
+             count(*) OVER (PARTITION BY col_name) AS tu,
+             row_number() OVER (PARTITION BY col_name
+               ORDER BY {_sa_order_sql("weighted")}) AS rn
+      FROM counts
+    ) WHERE tu <= 5 OR rn <= 5
+    """,
+)
 def sa4_weighted(spark, sf_dir):
     from magneto_matcher_spark.operators.sampling import sample_columns
 
@@ -2236,9 +2567,9 @@ def serialize_all_modes(spark, sf_dir):
 
 _DRIVER_WINDOW = [
     "w4_max_lsn_dedup",
-    "w4_salted_dedup",
-    # w4_window_dedup moved to the tail (its oracle duplicated
-    # w4_max_lsn_dedup's) to free the slot for the end-to-end matcher
+    # w4_window_dedup and w4_salted_dedup moved to the tail (their oracles
+    # duplicate w4_max_lsn_dedup's — the full-oracle pytest gate still checks
+    # them every run) to free slots for previously-unverdicted families
     "magneto_e2e_matches",
     "cdc_replay_final_state",
     "cdc_batch_metrics",
@@ -2256,8 +2587,10 @@ _DRIVER_WINDOW = [
     "a10_grouped_stats",
     "profile_semantic_types",
     "w5_common_prefix",
-    "sa2_frequent",
-    "sa3_mixed",
+    # sa2_frequent / sa3_mixed folded into sampling_all_modes (round 5), which
+    # also covers the md5-re-keyed SA1/SA4/SA5/SA6 — first driver verdicts
+    # for the whole §2.6 family in one slot
+    "sampling_all_modes",
     "j1_equal_match",
     "j2_levenshtein_ratio",
     "w1_topk_per_source",
@@ -2266,8 +2599,14 @@ _DRIVER_WINDOW = [
     "m1_mrr_simple",
     "m2_mrr_adjusted",
     "m3_recall_at_k",
-    "m4_one_to_one",
-    "m4_mutual_best",
+    # m4_one_to_one + m4_mutual_best consolidated (kind-tagged union)
+    "m4_assignments",
+    # R1/R2 Hungarian+rescale vs brute-force-perms oracle; R3 mock-rerank
+    # codec round trip vs levenshtein SQL twin; multimodal frame sampling vs
+    # payload-string reconstruction — all first-time driver verdicts
+    "r1_bp_rerank",
+    "r3_llm_rerank_mock",
+    "mm_frame_sample",
     "j4_misses",
     "serialize_all_modes",
     "dedup_exact",

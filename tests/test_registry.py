@@ -57,5 +57,27 @@ def test_consolidations_cover_their_micro_queries():
         # → profile_parse_fracs
         "serialize_header_values_default", "serialize_header_only",
         # → serialize_all_modes
+        "sa1_random_seeded", "sa2_frequent", "sa3_mixed", "sa4_weighted",
+        "sa5_priority", "sa6_consistent",       # → sampling_all_modes
+        "m4_one_to_one", "m4_mutual_best",      # → m4_assignments
+        "w4_salted_dedup", "w4_window_dedup",
+        # → share w4_max_lsn_dedup's oracle; checked by the full-oracle gate
     ]:
         assert micro in queries, micro
+
+
+def test_window_covers_round5_family_additions():
+    """Round-5 eviction policy, pinned: consolidations replaced micro-slots,
+    and the previously rows-only families (SA seeded modes, R1/R2, R3,
+    multimodal frame sampling) each hold a window slot with an oracle."""
+    oracles = build_oracles()
+    for name in ["sampling_all_modes", "m4_assignments", "r1_bp_rerank",
+                 "r3_llm_rerank_mock", "mm_frame_sample"]:
+        assert name in _DRIVER_WINDOW, name
+        assert name in oracles, name
+    # every evicted query keeps an oracle so the local full-oracle gate
+    # (test_oracles_full.py) still hash-checks it each run
+    for evicted in ["sa2_frequent", "sa3_mixed", "w4_salted_dedup",
+                    "m4_one_to_one", "m4_mutual_best"]:
+        assert evicted not in _DRIVER_WINDOW, evicted
+        assert evicted in oracles, evicted
