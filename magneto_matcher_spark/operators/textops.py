@@ -168,7 +168,9 @@ def tfidf_char_ngrams(
     docs = df.select(F.col(text_col).alias("s")).filter(
         F.col("s").isNotNull()
     ).withColumn("_doc", F.monotonically_increasing_id())
-    n_docs = docs.count()
+    # Corpus size N feeds only the idf constant; a broadcast 1-row aggregate
+    # keeps the operator a single Spark action (no eager .count() job).
+    n_total = docs.agg(F.count(F.lit(1)).cast("double").alias("_N"))
 
     per_n = []
     for n in range(n_lo, n_hi + 1):
@@ -183,10 +185,15 @@ def tfidf_char_ngrams(
         ).filter(F.length("ngram") == n)
         tf = grams.groupBy("_doc", "ngram").agg(F.count(F.lit(1)).alias("tf"))
         dfreq = tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
-        w = tf.join(dfreq, "ngram").withColumn(
-            "w",
-            F.col("tf")
-            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
+        w = (
+            tf.join(dfreq, "ngram")
+            .join(F.broadcast(n_total))
+            .withColumn(
+                "w",
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("_N")) / (F.lit(1.0) + F.col("df"))) + 1.0),
+            )
+            .drop("_N")
         )
         norm = Window.partitionBy("_doc")
         w = w.withColumn("wn", F.col("w") / F.sqrt(F.sum(F.col("w") ** 2).over(norm)))

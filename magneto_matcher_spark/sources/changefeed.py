@@ -264,10 +264,41 @@ def write_change_files(
     # producer sharing the parent must not drag our stamps forward)
     if existing > now + 60.0:
         existing = now + 60.0
+    # Marker files make cross-call monotonicity independent of the
+    # fixed-depth directory scan above: every producer call records the
+    # LAST mtime it stamped in `.changefeed_stamp_ms` at out_dir, its
+    # parent, and grandparent, and anchors past the max marker it can see.
+    # A sibling feed tree nested deeper than the scan reaches still shares
+    # one of those ancestors, so its forward overhang (5 ms x n_files, which
+    # can legitimately exceed the 60 s scan clamp for very large feeds) is
+    # carried exactly instead of silently lost.  Markers are our own
+    # protocol — written only here — so they are NOT clamped.
+    marker_dirs = [out_dir.rstrip("/")]
+    if parent and os.path.isdir(parent):
+        marker_dirs.append(parent)
+        gparent = os.path.dirname(parent)
+        if gparent and gparent != parent and os.path.isdir(gparent):
+            marker_dirs.append(gparent)
+    for d in marker_dirs:
+        try:
+            with open(os.path.join(d, ".changefeed_stamp_ms")) as fh:
+                existing = max(existing, float(fh.read().strip()) / 1000.0)
+        except (OSError, ValueError):
+            pass
     base_ms = int(max(now, existing + step) * 1000) + 1
     for i, f in enumerate(all_files):
         t = (base_ms + int(step * 1000) * i) / 1000.0
         os.utime(f, (t, t))
+    if all_files:
+        last_ms = base_ms + int(step * 1000) * (len(all_files) - 1)
+        for d in marker_dirs:
+            try:
+                with open(os.path.join(d, ".changefeed_stamp_ms"), "w") as fh:
+                    fh.write(str(last_ms))
+            except OSError:
+                # ancestor may be read-only; out_dir's own marker (first in
+                # the list, created by this writer) is the required one.
+                pass
 
     paths = []
     for b, src in staged_dirs:

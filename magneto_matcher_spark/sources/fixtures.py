@@ -139,3 +139,44 @@ def read_ground_truth_json(spark: SparkSession, path: str) -> DataFrame:
         F.col("m.source_column").alias("source_column"),
         F.col("m.target_column").alias("target_column"),
     )
+
+
+def make_blob_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 2000,
+    dim: int = 64,
+    n_clusters: int = 20,
+    intra_std: float = 0.25,
+    seed: int = 7,
+) -> DataFrame:
+    """Seeded Gaussian-blob embedding corpus: ``n_clusters`` unit-sphere-ish
+    centers, each vector = its cluster center + N(0, intra_std) noise.
+
+    The shipped ``embeddings.parquet`` fixture is essentially clusterless —
+    the *adversarial* case for learned-cell ANN (IVF).  This is the case IVF
+    is designed for, so the recall grid (BENCH/ann_recall.py) grades both.
+    Deterministic: one ``default_rng(seed)`` stream, driver-generated (the
+    corpus is a graded fixture, metadata-scale by construction), columns
+    ``(vec_id bigint, embedding array<float>, label int)`` matching the
+    parquet fixture's schema.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n_vecs)
+    vecs = centers[labels] + intra_std * rng.standard_normal((n_vecs, dim))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+        for i in range(n_vecs)
+    ]
+    return spark.createDataFrame(rows, schema)

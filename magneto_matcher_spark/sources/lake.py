@@ -721,6 +721,11 @@ class LakeTable:
         here would execute the whole winners lineage (normalize + dedup
         shuffle) once for this collect and a second time for the write.
 
+        ``aligned``: caller's promise that ``winners`` is already partitioned
+        on the table's bucket layout — honoured only with ``pre_deduped=True``
+        (the in-merge dedup path re-partitions with its own pin and tracks
+        alignment separately).
+
         Write modes (``create(write_mode=...)``):
 
         - ``cow`` — copy-on-write: one fused max-LSN aggregation over
@@ -742,6 +747,12 @@ class LakeTable:
 
         is_mor = self.meta.get("write_mode", "cow") == "mor"
         n_aligned = self.aligned_partitions()
+        # `aligned` (the caller's promise that `winners` is already
+        # partitioned on the bucket layout) only applies when
+        # pre_deduped=True; the in-merge dedup below re-partitions with its
+        # own pin, tracked in a DISTINCT local so the parameter's meaning
+        # never flips mid-function.
+        delta_aligned = aligned
         if not pre_deduped and (is_mor or dedup_strategy == "salted"):
             # MoR delta files stay ≤1 row/key (read-amplification bound);
             # a hot-key CoW batch pre-shrinks two-phase before the fused agg.
@@ -752,14 +763,14 @@ class LakeTable:
                 strategy=dedup_strategy, n_salts=n_salts,
                 n_partitions=n_aligned if is_mor else None,
             )
-            aligned = is_mor and n_aligned is not None
+            delta_aligned = is_mor and n_aligned is not None
 
         batch = self._with_bucket(winners.select(*cols, op_col))
 
         if is_mor:
             new_entries = self._write_data_files(
                 batch, f"delta-{snapshot_id}", kind="delta",
-                pre_partitioned=aligned and n_aligned is not None,
+                pre_partitioned=delta_aligned and n_aligned is not None,
             )
             cur = self.current_snapshot()
             s = {

@@ -916,14 +916,20 @@ def _footer_stats(
     n_null = 0
     lo = hi = None
     per_file: dict[str, list[int]] = {}
-    for f, res in zip(files, results):
+    # Label through _lineage_keys — the SAME keying _scan_stats uses — so a
+    # stream-then-replay resume records identically-keyed lineage whichever
+    # stats path ran, and colliding basenames (impossible for one glob dir
+    # today, but the keying must not depend on that) disambiguate instead
+    # of silently overwriting a span.
+    labels = _lineage_keys(files)
+    for f_label, res in zip(labels, results):
         if res is None:
             return None  # missing stats → caller falls back to a scan
         f_rows, f_lo, f_hi, f_null = res
         n += f_rows
         n_null += f_null
         if f_lo is not None:
-            per_file[os.path.basename(f)] = [int(f_lo), int(f_hi)]
+            per_file[f_label] = [int(f_lo), int(f_hi)]
             lo = f_lo if lo is None else min(lo, f_lo)
             hi = f_hi if hi is None else max(hi, f_hi)
     if 0 < n_null < n:

@@ -351,6 +351,49 @@ def test_streaming_fresh_drain_over_sibling_subtrees(spark, tmp_path, feed):
     assert _state_dict(table) == _oracle(feed.collect())
 
 
+def test_stamp_marker_carries_overhang_to_deep_siblings(spark, tmp_path, feed):
+    """Cross-call monotonicity beyond the directory scan's reach: call 1
+    writes into tree/x/y and (simulated here) leaves a forward mtime
+    overhang LARGER than the 60 s scan clamp — a 10^7-file feed at 5 ms/file
+    legitimately does.  Call 2 lands in tree/p/q, whose fixed-depth scan
+    never sees tree/x/y's stamps; only the `.changefeed_stamp_ms` marker at
+    the shared ancestor can carry the overhang.  Contract: every call-2
+    mtime is strictly above every call-1 mtime."""
+    import os
+    import time
+
+    tree = tmp_path / "deep_tree"
+    dir1 = tree / "x" / "y"
+    write_change_files(
+        feed.filter(F.col("lsn") < 1500), str(dir1), n_batches=2
+    )
+    # simulate a huge first feed's overhang: push the stamped mtimes (and
+    # the marker the producer wrote) ~120 s into the future, past the scan
+    # clamp — exactly what a multi-million-file call 1 would leave behind
+    future_s = time.time() + 120.0
+    hi1 = 0.0
+    for dp, _dn, fns in os.walk(dir1):
+        for i, fn in enumerate(sorted(fns)):
+            if fn.endswith(".parquet"):
+                t = future_s + 0.005 * i
+                os.utime(os.path.join(dp, fn), (t, t))
+                hi1 = max(hi1, t)
+    with open(tree / ".changefeed_stamp_ms", "w") as fh:
+        fh.write(str(int(hi1 * 1000)))
+
+    dir2 = tree / "p" / "q"
+    write_change_files(
+        feed.filter(F.col("lsn") >= 1500), str(dir2), n_batches=2
+    )
+    lo2 = min(
+        os.path.getmtime(os.path.join(dp, fn))
+        for dp, _dn, fns in os.walk(dir2)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    assert lo2 > hi1
+
+
 def test_drift_batch_auto_evolves(spark, tmp_path):
     """FIXTURES.md F3: renamed tool→tool_name + added tool_meta/latency_ms.
     The incoming renamed column must land in the existing `tool` column (it
