@@ -74,6 +74,21 @@ def test_minhash_deterministic_across_partitionings(spark, docs):
     assert a == b
 
 
+def test_minhash_fullrecall_banding_equals_exact(spark, docs):
+    """The dedup_minhash_lsh_verified driver contract, pinned locally: at the
+    full-recall banding point (bands=k → one min-hash per band; deterministic
+    miss probability per true pair ≤ 0.4^32 ≈ 2e-13) the verified LSH output
+    must EQUAL the exact all-pairs Jaccard set — a banding/bucket-join
+    regression breaks this here before the driver ever sees it."""
+    d = docs.filter(F.col("doc_id") < 200)
+    lsh = {(r["a_id"], r["b_id"], round(r["jaccard"], 9)) for r in
+           minhash_lsh_pairs(d, k=32, bands=32, threshold=0.6).collect()}
+    exact = {(r["a_id"], r["b_id"], round(r["jaccard"], 9)) for r in
+             ngram_jaccard_pairs(d, threshold=0.6).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # the fixture must exercise the contract
+
+
 def test_simhash_pairs(spark):
     df = _mini_docs(spark)
     # doc 3 differs from 1/2 by one token of nine → hamming 4 on these texts

@@ -81,3 +81,27 @@ def test_window_covers_round5_family_additions():
                     "m4_one_to_one", "m4_mutual_best"]:
         assert evicted not in _DRIVER_WINDOW, evicted
         assert evicted in oracles, evicted
+
+
+def test_window_covers_lsh_simhash_ivf_families():
+    """Second round-5 recomposition, pinned: the LSH/SimHash/IVF families
+    get driver verdicts at provable operating points (full-recall MinHash
+    banding, SimHash order-invariance corpus, both embedding tiers,
+    exhaustive-probe IVF), paid for by consolidating m1/m2/m3 and the two
+    strategy-order slots."""
+    oracles = build_oracles()
+    for name in ["dedup_minhash_lsh_verified", "dedup_simhash_invariance",
+                 "dedup_embedding_both", "ann_ivf_full_probe",
+                 "metrics_mrr_recall", "magneto_strategy_orders"]:
+        assert name in _DRIVER_WINDOW, name
+        assert name in oracles, name
+    for evicted in ["m1_mrr_simple", "m2_mrr_adjusted", "m3_recall_at_k",
+                    "magneto_strategy_order_default",
+                    "magneto_strategy_order_custom", "dedup_embedding_cosine"]:
+        assert evicted not in _DRIVER_WINDOW, evicted
+        assert evicted in oracles, evicted
+    # the general (hash-dependent) operating points stay registered rows-only
+    for rows_only in ["dedup_minhash_lsh", "dedup_simhash",
+                      "dedup_embedding_lsh", "ann_ivf_topk", "ann_lsh_topk"]:
+        assert rows_only in build_queries(), rows_only
+        assert rows_only not in oracles, rows_only
