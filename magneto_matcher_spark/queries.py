@@ -1119,24 +1119,72 @@ def dedup_simhash(spark, sf_dir):
 
 @q(
     "dedup_minhash_lsh_verified",
-    # at the full-recall banding point (bands=k → one min-hash per band) the
+    # At the full-recall banding point (bands=k → one min-hash per band) the
     # deterministic miss probability per true pair is (1-s)^32 ≤ 0.4^32 ≈
-    # 2e-13, so the verified output EQUALS the exact-Jaccard pair set and the
-    # exact set is the oracle — reused verbatim from dedup_ngram_jaccard;
-    # equality on both sf fixtures is additionally pinned by
-    # tests/test_dataops.py so a banding regression fails locally first
-    ORACLES.get("dedup_ngram_jaccard"),
+    # 2e-13, so the verified output EQUALS the exact-Jaccard pair set over
+    # the same corpus — and the corpus is docs ∪ drop-last-token twins so
+    # true pairs EXIST at every sf (the raw fixture has near-dups at
+    # sf0.001/0.01 but none ≥ 0.6 among doc_id<150 at sf0.1, which would
+    # make the verdict vacuous there).  Both engines construct the twins
+    # identically, so the exact all-pairs SQL is the oracle.
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 150
+    ),
+    base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+    corpus AS (
+      SELECT doc_id, toks FROM base
+      UNION ALL
+      SELECT doc_id + 10000, toks[1:len(toks)-1] FROM base
+    ),
+    d AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM corpus WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    """,
 )
 def dedup_minhash_lsh_verified(spark, sf_dir):
     """MinHash+LSH at its full-recall operating point: signature → 32
-    single-hash bands → bucket join → exact-Jaccard verify.  The banding
-    plumbing, fused signature+shingle aggregation, and verify math all get a
-    hash verdict; the recall/speed trade of coarser bandings stays graded by
-    the rows-only ``dedup_minhash_lsh`` (k=32, bands=8) and its bench entry."""
+    single-hash bands → bucket join → exact-Jaccard verify, over docs ∪
+    their drop-last-token twins (near-dup by construction, so the contract
+    is non-vacuous at any sf).  The banding plumbing, fused signature+shingle
+    aggregation, and verify math all get a hash verdict; the recall/speed
+    trade of coarser bandings stays graded by the rows-only
+    ``dedup_minhash_lsh`` (k=32, bands=8) and its bench entry.  Local pin:
+    tests/test_dataops.py asserts banding==exact at sf0.001.
+    max_bucket_size is lifted above the corpus size — a dropped degenerate
+    bucket is legitimate LSH behavior but would diverge from the all-pairs
+    oracle."""
     from magneto_matcher_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = minhash_lsh_pairs(docs, k=32, bands=32, threshold=0.6, n=3)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select("doc_id", F.col("text"), toks.alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    twin = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice("toks", 1, F.size("toks") - 1), " ").alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(twin)
+    pairs = minhash_lsh_pairs(
+        corpus, k=32, bands=32, threshold=0.6, n=3, max_bucket_size=10_000
+    )
     return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 

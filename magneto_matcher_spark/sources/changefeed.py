@@ -134,6 +134,7 @@ def write_change_files(
     n_batches: int,
     lsn_col: str = "lsn",
     files_per_batch: int = 32,
+    stamp_root: str | None = None,
 ) -> list[str]:
     """Split the feed into ``n_batches`` contiguous LSN ranges, one parquet
     directory per batch (``batch_00000`` …) — the on-disk shape both the
@@ -157,6 +158,17 @@ def write_change_files(
     by contract, and is skipped).  Mod-striped files break this: each file
     then spans the whole batch range, so a trigger split mid-batch advances
     the watermark past rows still sitting in unadmitted sibling files.
+
+    ``stamp_root``: opt-in cross-tree monotonicity anchor.  Calls that write
+    SEPARATE out_dirs under one feed tree (and will be drained by one glob)
+    should pass the tree root here; a ``.changefeed_stamp_ms`` marker at the
+    root then carries each call's exact last-stamped mtime to the next call
+    at ANY nesting depth.  Without it, sibling out_dirs get best-effort
+    monotonicity from a bounded directory scan (out_dir, its parent, one
+    level under the parent) clamped to 60 s of forward overhang — enough for
+    feeds up to ~12k files per call, and fail-safe beyond (stamps fall back
+    to wall clock; a checkpointed drain still dedups, but a FRESH drain's
+    admission order is no longer guaranteed LSN-monotone across the trees).
     """
     import os
     import shutil
@@ -265,20 +277,24 @@ def write_change_files(
     if existing > now + 60.0:
         existing = now + 60.0
     # Marker files make cross-call monotonicity independent of the
-    # fixed-depth directory scan above: every producer call records the
-    # LAST mtime it stamped in `.changefeed_stamp_ms` at out_dir, its
-    # parent, and grandparent, and anchors past the max marker it can see.
-    # A sibling feed tree nested deeper than the scan reaches still shares
-    # one of those ancestors, so its forward overhang (5 ms x n_files, which
-    # can legitimately exceed the 60 s scan clamp for very large feeds) is
-    # carried exactly instead of silently lost.  Markers are our own
-    # protocol — written only here — so they are NOT clamped.
+    # fixed-depth directory scan above: each call records the LAST mtime it
+    # stamped in `.changefeed_stamp_ms` at out_dir (self-appends) and, when
+    # the caller passes ``stamp_root``, at that shared root too — so every
+    # call sharing the root gets EXACT monotonicity at any nesting depth,
+    # including forward overhangs (5 ms x n_files) that legitimately exceed
+    # the 60 s scan clamp for very large feeds.  Markers are written ONLY to
+    # dirs the caller owns (out_dir; stamp_root is the caller's explicit
+    # opt-in) — never to implicit parents/grandparents, where an unrelated
+    # producer's feed would both inherit our far-future stamps unclamped and
+    # find our dotfiles in directories we don't own.  Without stamp_root,
+    # sibling trees fall back to the clamped scan above (its depth/clamp
+    # limits documented there).
     marker_dirs = [out_dir.rstrip("/")]
-    if parent and os.path.isdir(parent):
-        marker_dirs.append(parent)
-        gparent = os.path.dirname(parent)
-        if gparent and gparent != parent and os.path.isdir(gparent):
-            marker_dirs.append(gparent)
+    if stamp_root:
+        sr = stamp_root.rstrip("/")
+        os.makedirs(sr, exist_ok=True)
+        if sr not in marker_dirs:
+            marker_dirs.append(sr)
     for d in marker_dirs:
         try:
             with open(os.path.join(d, ".changefeed_stamp_ms")) as fh:
@@ -292,13 +308,8 @@ def write_change_files(
     if all_files:
         last_ms = base_ms + int(step * 1000) * (len(all_files) - 1)
         for d in marker_dirs:
-            try:
-                with open(os.path.join(d, ".changefeed_stamp_ms"), "w") as fh:
-                    fh.write(str(last_ms))
-            except OSError:
-                # ancestor may be read-only; out_dir's own marker (first in
-                # the list, created by this writer) is the required one.
-                pass
+            with open(os.path.join(d, ".changefeed_stamp_ms"), "w") as fh:
+                fh.write(str(last_ms))
 
     paths = []
     for b, src in staged_dirs:

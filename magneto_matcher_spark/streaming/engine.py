@@ -814,12 +814,17 @@ def _scan_stats(
     return n, lo, hi, spans
 
 
-def _lineage_keys(uris: list[str]) -> list[str]:
+def _lineage_keys(uris: list[str], encoded: bool = True) -> list[str]:
     """Stable lineage labels for scanned source files.
 
     ``input_file_name()`` returns a percent-encoded URI; the footer-stats
-    path labels by raw filesystem basename — decode so both paths record
-    the SAME key for the same file.  When two distinct files in one batch
+    path labels by raw filesystem path — decode so both paths record
+    the SAME key for the same file.  ``encoded=False`` is for raw
+    filesystem paths (the footer path): unquoting those would corrupt a
+    real filename containing a literal %XX sequence (``part%20a.parquet``
+    would key as ``part a.parquet`` while the scan path, which sees it
+    percent-ENCODED as %2520, correctly decodes back — the two stats paths
+    would then disagree on the key).  When two distinct files in one batch
     share a basename (recursiveFileLookup over partition dirs like
     ``date=A/data.parquet``), the parent directory is prefixed so their
     LSN spans stay separate instead of being silently min/max-merged.
@@ -827,6 +832,8 @@ def _lineage_keys(uris: list[str]) -> list[str]:
     from urllib.parse import unquote, urlparse
 
     def decode(u: str) -> str:
+        if not encoded:
+            return u
         return unquote(urlparse(u).path) if "://" in u else unquote(u)
 
     paths = [decode(u) if u else "" for u in uris]
@@ -920,8 +927,9 @@ def _footer_stats(
     # stream-then-replay resume records identically-keyed lineage whichever
     # stats path ran, and colliding basenames (impossible for one glob dir
     # today, but the keying must not depend on that) disambiguate instead
-    # of silently overwriting a span.
-    labels = _lineage_keys(files)
+    # of silently overwriting a span.  encoded=False: these are raw
+    # filesystem paths, not input_file_name() URIs.
+    labels = _lineage_keys(files, encoded=False)
     for f_label, res in zip(labels, results):
         if res is None:
             return None  # missing stats → caller falls back to a scan

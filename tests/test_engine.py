@@ -351,25 +351,27 @@ def test_streaming_fresh_drain_over_sibling_subtrees(spark, tmp_path, feed):
     assert _state_dict(table) == _oracle(feed.collect())
 
 
-def test_stamp_marker_carries_overhang_to_deep_siblings(spark, tmp_path, feed):
+def test_stamp_root_carries_overhang_to_deep_siblings(spark, tmp_path, feed):
     """Cross-call monotonicity beyond the directory scan's reach: call 1
     writes into tree/x/y and (simulated here) leaves a forward mtime
     overhang LARGER than the 60 s scan clamp — a 10^7-file feed at 5 ms/file
     legitimately does.  Call 2 lands in tree/p/q, whose fixed-depth scan
-    never sees tree/x/y's stamps; only the `.changefeed_stamp_ms` marker at
-    the shared ancestor can carry the overhang.  Contract: every call-2
-    mtime is strictly above every call-1 mtime."""
+    never sees tree/x/y's stamps; the explicit ``stamp_root`` protocol (a
+    `.changefeed_stamp_ms` marker at the caller-owned tree root) carries the
+    overhang exactly, at any nesting depth.  Contract: every call-2 mtime is
+    strictly above every call-1 mtime."""
     import os
     import time
 
     tree = tmp_path / "deep_tree"
     dir1 = tree / "x" / "y"
     write_change_files(
-        feed.filter(F.col("lsn") < 1500), str(dir1), n_batches=2
+        feed.filter(F.col("lsn") < 1500), str(dir1), n_batches=2,
+        stamp_root=str(tree),
     )
     # simulate a huge first feed's overhang: push the stamped mtimes (and
-    # the marker the producer wrote) ~120 s into the future, past the scan
-    # clamp — exactly what a multi-million-file call 1 would leave behind
+    # the marker the producer wrote at stamp_root) ~120 s into the future,
+    # past the scan clamp — what a multi-million-file call 1 leaves behind
     future_s = time.time() + 120.0
     hi1 = 0.0
     for dp, _dn, fns in os.walk(dir1):
@@ -383,7 +385,8 @@ def test_stamp_marker_carries_overhang_to_deep_siblings(spark, tmp_path, feed):
 
     dir2 = tree / "p" / "q"
     write_change_files(
-        feed.filter(F.col("lsn") >= 1500), str(dir2), n_batches=2
+        feed.filter(F.col("lsn") >= 1500), str(dir2), n_batches=2,
+        stamp_root=str(tree),
     )
     lo2 = min(
         os.path.getmtime(os.path.join(dp, fn))
@@ -392,6 +395,10 @@ def test_stamp_marker_carries_overhang_to_deep_siblings(spark, tmp_path, feed):
         if fn.endswith(".parquet")
     )
     assert lo2 > hi1
+    # markers live ONLY in caller-owned dirs: the out_dirs and stamp_root —
+    # never in implicit parents (tree/x, tree/p) another producer might own
+    for d in (tree / "x", tree / "p"):
+        assert not (d / ".changefeed_stamp_ms").exists()
 
 
 def test_drift_batch_auto_evolves(spark, tmp_path):
