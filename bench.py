@@ -105,6 +105,26 @@ def _feed_from_env_or_generate(spark, tmp: str, n_events: int, n_batches: int):
     return prepare_feed(spark, tmp, n_events, n_batches)
 
 
+def _jvm_gc_millis(spark) -> int:
+    """Cumulative stop-the-world GC time of the driver/executor JVM (local
+    mode: one JVM) via GarbageCollectorMXBeans — no JVM flags needed.  The
+    per-run delta attributes wall time to GC directly: at large batch grain
+    the 32-thread merge was measured GC-bound on the default heap (see
+    BENCH/BASELINE_BIGBATCH_COW_8X.md), which per-level wall clocks alone
+    could not distinguish from host-burst noise."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            max(beans.get(i).getCollectionTime(), 0)
+            for i in range(beans.size())
+        )
+    except Exception:  # pragma: no cover — py4j/JMX unavailable
+        return 0
+
+
 def run_cdc_replay(
     spark,
     n_events: int,
@@ -193,6 +213,7 @@ def run_cdc_replay(
             # MoR batches stage concurrently (commits stay serial, in feed
             # order) — fills stage-barrier bubbles; no-op for CoW
             conc = int(os.environ.get("SPARK_GRAFT_CONCURRENCY", "4"))
+            gc0 = _jvm_gc_millis(spark)
             t0 = time.time()
             metrics = engine.replay(paths, concurrency=conc)
             dur = time.time() - t0
@@ -202,6 +223,7 @@ def run_cdc_replay(
                 "batches": n_batches,
                 "write_mode": write_mode,
                 "duration_s": round(dur, 3),
+                "gc_ms": _jvm_gc_millis(spark) - gc0,
                 "events_per_sec": round(n_events / dur, 1),
                 "final_rows_last_rewrite": int(
                     table.summary().get("rows-written", -1)
