@@ -34,7 +34,9 @@ BENCH_QUERIES = [
     "cdc_replay_final_state",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "text_lang_id",
     "magneto_get_matches_f4",
