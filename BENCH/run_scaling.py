@@ -363,14 +363,16 @@ invocation path — `spark-submit --master local[N] --py-files
 BENCH/engine.zip BENCH/submit_job.py` — at both parallelism levels (every
 import resolved from the shipped zip; pinned with taskset; see
 `tests/test_engine.py::test_spark_submit_py_files_entrypoint` for the
-always-on smoke).  Re-measured round 4 with the keyhash engine (16M
-events, 10 batches, min-of-3 interleaved, salted dedup): local[8] 21.1 s
-(757k events/s), local[32] 13.3 s (1.20M events/s) — a clean N-vs-4N
-separation through the stated invocation path (round 3's window had shown
-an 8≈32 anomaly under host saturation).  Recorded for invocation parity,
-NOT as the scaling evidence; the interleaved fresh-JVM methodology above
-is the pinned evidence.  The two paths run the same JVM job; spark-submit
-changes only how the driver process is launched.
+always-on smoke).  Re-measured round 5 with the MoR engine (16M events,
+10 batches, min-of-3 interleaved, salted dedup): local[8] 17.2 s (930k
+events/s), local[32] 18.1 s (884k events/s) — the stated invocation path
+sustains ~0.9M events/s at both levels; this window's local[32] reps
+([43.0, 18.1, 24.3] s) were mostly throttle-afflicted (the direct-path
+measurement in the same session reached 7.7 s at local[32]), illustrating
+exactly why the interleaved fresh-JVM min-of-N methodology above — not
+this parity check — is the pinned scaling evidence.  The two paths run
+the same JVM job; spark-submit changes only how the driver process is
+launched.
 
 """
     out_path = os.path.join(REPO, "BENCH", out_name)
