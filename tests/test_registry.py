@@ -105,3 +105,9 @@ def test_window_covers_lsh_simhash_ivf_families():
                       "dedup_embedding_lsh", "ann_ivf_topk", "ann_lsh_topk"]:
         assert rows_only in build_queries(), rows_only
         assert rows_only not in oracles, rows_only
+    # the LSH ANN tier's provable point (scaled-copy top-1 self-match) holds
+    # the slot freed by w6_ordered_head, whose oracle stays under the gate
+    assert "ann_lsh_top1_selfmatch" in _DRIVER_WINDOW
+    assert "ann_lsh_top1_selfmatch" in oracles
+    assert "w6_ordered_head" not in _DRIVER_WINDOW
+    assert "w6_ordered_head" in oracles
