@@ -56,11 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for the SQL-expressible subset of ``queries()`` — 82
-    of 90 entries, including provable operating points for the MinHash-LSH /
-    SimHash / IVF / embedding-LSH families; only genuinely hash-valued
-    outputs (xxhash64 feature embeddings, approximate ANN top-k, multimodal
-    decode) stay rows-only by contract."""
+    """DuckDB oracles for the SQL-expressible subset of ``queries()`` — 83
+    of 91 entries, including provable operating points for the MinHash-LSH /
+    SimHash / IVF / embedding-LSH / ANN-LSH families; only genuinely
+    hash-valued outputs (xxhash64 feature embeddings, the approximate
+    general-point ANN/dedup tiers, multimodal decode) stay rows-only by
+    contract."""
     from magneto_matcher_spark.queries import build_oracles
 
     return build_oracles()

@@ -110,10 +110,11 @@ def _feed_from_env_or_generate(spark, tmp: str, n_events: int, n_batches: int):
 def _jvm_gc_millis(spark) -> int:
     """Cumulative stop-the-world GC time of the driver/executor JVM (local
     mode: one JVM) via GarbageCollectorMXBeans — no JVM flags needed.  The
-    per-run delta attributes wall time to GC directly: at large batch grain
-    the 32-thread merge was measured GC-bound on the default heap (see
-    BENCH/BASELINE_BIGBATCH_COW_8X.md), which per-level wall clocks alone
-    could not distinguish from host-burst noise."""
+    per-run delta attributes wall time to GC directly.  Motivation: the
+    large-grain 32-thread investigation (BENCH/BASELINE_BIGBATCH_COW_8X.md)
+    had to FALSIFY a GC hypothesis with paired heap-size A/B runs because
+    wall clocks alone can't separate GC share from host-burst noise; this
+    metric makes that attribution direct next time."""
     try:
         beans = (
             spark._jvm.java.lang.management.ManagementFactory
