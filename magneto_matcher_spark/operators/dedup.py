@@ -311,7 +311,11 @@ def simhash_signatures(
 
     Physical shape: explode tokens → ``bits`` codegen'd sum-aggregates →
     sign array (same interpreted-HOF avoidance rationale as
-    :func:`minhash_signatures`)."""
+    :func:`minhash_signatures`).  Measured alternative, rejected: pre-
+    aggregating (id, hash) → count before the 64 bit-sums (to evaluate the
+    getbit expressions on fewer rows) costs an extra shuffle that outweighs
+    the row reduction at realistic token-repetition factors — 1.8-1.9 s vs
+    1.3-1.5 s warm on sf0.1 documents, identical signatures."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).withColumn(
         "h", F.xxhash64(F.col("t"))
