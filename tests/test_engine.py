@@ -401,6 +401,33 @@ def test_stamp_root_carries_overhang_to_deep_siblings(spark, tmp_path, feed):
         assert not (d / ".changefeed_stamp_ms").exists()
 
 
+def test_stamp_root_total_order_across_many_nested_calls(spark, tmp_path, feed):
+    """The stamp_root contract, strengthened: N sequential calls into
+    DIFFERENT nesting depths under one root must produce a single global
+    mtime order — every file of call i stamped strictly below every file of
+    call i+1 — so one glob over the root admits the whole multi-call feed
+    LSN-monotonically at any trigger grain."""
+    import os
+
+    tree = tmp_path / "order_tree"
+    layouts = ["a", "b/c", "d/e/f", "g"]
+    spans = []
+    for i, sub in enumerate(layouts):
+        lo, hi = i * 700, (i + 1) * 700
+        write_change_files(
+            feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            str(tree / sub), n_batches=2, stamp_root=str(tree),
+        )
+        mtimes = [
+            os.path.getmtime(os.path.join(dp, fn))
+            for dp, _dn, fns in os.walk(str(tree / sub))
+            for fn in fns if fn.endswith(".parquet")
+        ]
+        spans.append((min(mtimes), max(mtimes)))
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert lo_next > hi_prev, (spans,)
+
+
 def test_drift_batch_auto_evolves(spark, tmp_path):
     """FIXTURES.md F3: renamed tool→tool_name + added tool_meta/latency_ms.
     The incoming renamed column must land in the existing `tool` column (it
