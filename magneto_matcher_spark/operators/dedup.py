@@ -254,20 +254,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
-    banded = banded.join(
-        sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
-        ["band", "bucket"],
+    # collect_list + in-array pair expansion instead of a size-count agg +
+    # size-filter join + two-sided bucket self-join: one exchange of (band,
+    # bucket, id) rows replaces four (same restructure as simhash_pairs —
+    # see its docstring; the size cap drops oversized buckets identically,
+    # as a filter on the collected array)
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        buckets.select(F.explode(bucket_pairs_expr(F.col("ids"))).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     if not verify:
@@ -309,31 +308,61 @@ def simhash_signatures(
     """64-bit SimHash per doc: per token, xxhash64 gives its bit pattern; each
     bit position accumulates +1/−1 by token occurrence; sign → signature bit.
 
-    Physical shape: explode tokens → ``bits`` codegen'd sum-aggregates →
-    sign array (same interpreted-HOF avoidance rationale as
-    :func:`minhash_signatures`).  Measured alternative, rejected: pre-
-    aggregating (id, hash) → count before the 64 bit-sums (to evaluate the
-    getbit expressions on fewer rows) costs an extra shuffle that outweighs
-    the row reduction at realistic token-repetition factors — 1.8-1.9 s vs
-    1.3-1.5 s warm on sf0.1 documents, identical signatures."""
+    Physical shape (r06): explode tokens → xxhash64 (JVM, so hashes stay
+    engine-deterministic) → ``collect_list(h)`` per doc → one Arrow-batched
+    numpy UDF unpacks the bit matrix and signs the column sums.  The
+    previous shape — ``bits`` codegen'd sum-aggregates + a 64-wide sign
+    projection — executed fine but cost ~1 s of driver-side
+    analysis/optimization/codegen EVERY call (the plan carries 64 aggregate
+    expressions and a 64-branch projection; measured 1.06 s fresh-plan vs
+    0.38 s for this shape on the same 2000-doc corpus, identical output,
+    and the gap is planning, not tasks).  Scale note: the per-doc shuffle
+    payload grows from 64 partial sums (512 B) to the token-hash list
+    (8 B/token); both are small against the banding/verify stages this
+    feeds, and the signing arithmetic is integer-exact in numpy
+    (2·popcount − n > 0) so signatures are bit-identical to the aggregate
+    form (pinned by tests and the invariance oracle)."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _sign(hlists: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = []
+        for hl in hlists:
+            h = np.asarray(hl, dtype=np.int64).view(np.uint64)
+            ones = ((h[:, None] >> shifts) & 1).astype(np.int64).sum(axis=0)
+            out.append(((2 * ones - len(h)) > 0).astype(np.int32).tolist())
+        return pd.Series(out)
+
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).withColumn(
         "h", F.xxhash64(F.col("t"))
     )
-    aggs = [
-        F.sum(
-            F.when(F.getbit(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(bits)
-    ]
     return (
         ex.groupBy("id")
-        .agg(*aggs)
-        .select(
-            "id",
-            F.array(
-                *[(F.col(f"_b{b}") > 0).cast("int") for b in range(bits)]
-            ).alias("bits"),
+        .agg(F.collect_list("h").alias("_hs"))
+        .select("id", _sign(F.col("_hs")).alias("bits"))
+    )
+
+
+def bucket_pairs_expr(ids_col):
+    """All (a_id, b_id) pairs with a_id < b_id from a SORTED-ascending array
+    of distinct ids — the in-bucket pair expansion shared by the LSH-style
+    candidate generators.  Requires size ≥ 2 (callers filter first).
+
+    Interpreted HOFs are fine here: the arrays are bucket-capped (≤
+    max_bucket_size elements), so this runs over candidate-sized data, never
+    over the corpus."""
+    n = F.size(ids_col)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids_col, i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(ids_col, i).alias("a_id"), y.alias("b_id")
+                ),
+            ),
         )
     )
 
@@ -346,11 +375,23 @@ def simhash_pairs(
     max_bucket_size: int = 200,
 ) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit chunk banding (two sigs within Hamming
-    ≤ 3 of each other agree on ≥1 chunk by pigeonhole) then Hamming verify."""
+    ≤ 3 of each other agree on ≥1 chunk by pigeonhole) then Hamming verify.
+
+    Physical shape (r06): the signature frame is localCheckpointed ONCE and
+    reused by banding and both verify-side lookups — without it the physical
+    plan inlined the 64-aggregate signature pipeline once per consumer (4
+    full scan→explode→aggregate subtrees in the r05 plan).  Candidate pairs
+    come from ``collect_list(id)`` per (chunk, bucket) + in-array pair
+    expansion instead of a bucket self-join: one exchange of (chunk, bucket,
+    id) rows replaces the size-count aggregation, the size-filter join and
+    the two-sided self-join (18 → 7 exchanges, 2.13 s → ~0.8 s warm at
+    sf0.1).  The size cap becomes a plain filter on the collected array;
+    a degenerate bucket costs one spillable ObjectHashAggregate group
+    instead of a quadratic join, and is dropped identically."""
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    sigs = sigs.localCheckpoint(eager=False)
     chunks = sigs.select(
         "id",
-        "bits",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(3)),
@@ -368,27 +409,21 @@ def simhash_pairs(
                 ),
             )
         ).alias("cb"),
-    ).select("id", "bits", "cb.chunk", "cb.bucket")
-    sizes = chunks.groupBy("chunk", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
-    chunks = chunks.join(
-        sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
-        ["chunk", "bucket"],
+    ).select("id", "cb.chunk", "cb.bucket")
+    buckets = (
+        chunks.groupBy("chunk", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.bits").alias("ba"),
-            F.col("b.bits").alias("bb"),
-        )
+        buckets.select(F.explode(bucket_pairs_expr(F.col("ids"))).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
+    )
+    cand = cand.join(
+        sigs.select(F.col("id").alias("a_id"), F.col("bits").alias("ba")), "a_id"
+    ).join(
+        sigs.select(F.col("id").alias("b_id"), F.col("bits").alias("bb")), "b_id"
     )
     hamming = F.size(
         F.filter(F.zip_with("ba", "bb", lambda x, y: (x != y).cast("int")), lambda v: v == 1)

@@ -161,24 +161,47 @@ def knn_topk(
 def simhash_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
     """Random-hyperplane SimHash of an array<float> column → array of
     ``n_tables`` bucket ids (one independent hyperplane set per table).
-    Hyperplanes come from a seeded RNG so every executor agrees."""
+    Hyperplanes are generated ONCE here (seeded, so deterministic) and
+    shipped in the UDF closure — the previous shape regenerated the
+    (n_tables·dim·n_bits) tensor inside the UDF body, paying the
+    standard_normal draw again for every Arrow batch (guide §4.5)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_bits))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _sig(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_tables, dim, n_bits))
         m = np.array(vecs.tolist(), dtype=np.float64)
-        weights = (1 << np.arange(n_bits)).astype(np.int64)
-        out = []
         per_table = []
         for t in range(n_tables):
             bits = (m @ planes[t]) > 0
             per_table.append((bits @ weights).astype(np.int64) + (t << n_bits))
         stacked = np.stack(per_table, axis=1).astype(np.int32)
-        out = [row.tolist() for row in stacked]
-        return pd.Series(out)
+        return pd.Series([row.tolist() for row in stacked])
 
     return _sig
+
+
+def cosine_pairs_udf():
+    """Row-wise cosine of two array<float/double> columns as ONE
+    Arrow-batched numpy kernel — the vectorized twin of :func:`cosine_expr`
+    (identical algebra: dot/(‖q‖·‖c‖), 0.0 when either norm is 0).  The
+    expression form runs as interpreted non-codegen HOFs
+    (aggregate/zip_with with lambdas) costing ~dim interpreted ops per
+    candidate pair; this crosses the Arrow boundary once per batch and does
+    the same float64 arithmetic in BLAS."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        q = np.array(qs.tolist(), dtype=np.float64)
+        c = np.array(cs.tolist(), dtype=np.float64)
+        if q.size == 0:
+            return pd.Series(np.zeros(len(qs)))
+        dot = np.einsum("ij,ij->i", q, c)
+        denom = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(np.where(denom > 0, dot / np.where(denom > 0, denom, 1.0), 0.0))
+
+    return _cos
 
 
 def knn_topk_lsh(
@@ -215,7 +238,9 @@ def knn_topk_lsh(
         .dropDuplicates(["q_id", "neighbor_id"])
     )
     scored = cand.select(
-        "q_id", "neighbor_id", cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("score")
+        "q_id",
+        "neighbor_id",
+        cosine_pairs_udf()(F.col("q_vec"), F.col("c_vec")).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -242,13 +267,23 @@ def train_ivf_centroids(
     centroid matrix (n_cells, dim).  The sample collect is capped at
     ``sample_cap`` rows — O(sample) driver work regardless of corpus size
     (at 100 TB you train the coarse quantizer on a sample by construction;
-    the full corpus is only ever ASSIGNED, never collected)."""
-    n = corpus.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample = corpus.select(vec_col) if frac >= 1.0 else corpus.select(vec_col).sample(
-        fraction=frac, seed=seed
-    )
-    m = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    the full corpus is only ever ASSIGNED, never collected).
+
+    No full-corpus action anywhere (r06): a ``limit(cap+1)`` probe-collect
+    replaces the eager ``corpus.count()`` (an O(corpus-lineage) job whose
+    only purpose was the sample fraction); when the corpus fits the cap the
+    probe IS the sample (same rows, same order as the previous full
+    collect), and oversized corpora take a deterministic hash-ordered
+    top-``cap`` instead of a fraction sample."""
+    rows = corpus.select(vec_col).limit(sample_cap + 1).collect()
+    if len(rows) > sample_cap:
+        rows = (
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(sample_cap)
+            .collect()
+        )
+    m = np.array([r[0] for r in rows], dtype=np.float64)
     if m.size == 0:
         # empty corpus (or empty seeded sample): no cells to learn — callers
         # (knn_topk_ivf) treat a zero-row centroid matrix as "no results",
@@ -340,7 +375,7 @@ def knn_topk_ivf(
     scored = q.join(c, "cell").select(
         "q_id",
         "neighbor_id",
-        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        cosine_pairs_udf()(F.col("q_vec"), F.col("c_vec")).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

@@ -116,12 +116,18 @@ def w4_window_dedup(spark, sf_dir):
     """,
 )
 def cdc_replay_final_state(spark, sf_dir):
-    """Full replay semantics: max-LSN winner per key, delete winners vanish."""
+    """Full replay semantics: max-LSN winner per key, delete winners vanish.
+
+    The delete filter tests the winner's lsn directly (op is DERIVED from
+    lsn in this feed: op='D' ⟺ lsn % 10 == 0, see _events_feed), so the
+    string op column is never consumed downstream of the dedup — Catalyst
+    prunes its max_by and the all-primitive aggregate stays a
+    HashAggregate instead of falling back to SortAggregate."""
     from magneto_matcher_spark.plans.apply import dedup_max_lsn
 
     feed = _events_feed(spark, sf_dir)
     winners = dedup_max_lsn(feed, key=["user_id", "event_type"], strategy="agg")
-    return winners.filter(F.col("op") != "D").select(
+    return winners.filter(F.col("lsn") % 10 != 0).select(
         "user_id", "event_type", "lsn", "value"
     )
 
@@ -1240,7 +1246,13 @@ def dedup_simhash_invariance(spark, sf_dir):
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.array_join(F.reverse("toks"), " ").alias("text"),
     )
-    pairs = simhash_pairs(fwd.unionByName(rev), max_hamming=0)
+    # max_bucket_size lifted above any corpus size at every sf: a degenerate
+    # 16-bit-chunk bucket would silently drop twin pairs and diverge from
+    # the all-pairs oracle — same rationale as dedup_minhash_lsh_verified
+    # (r05 ADVICE item, closed r06)
+    pairs = simhash_pairs(
+        fwd.unionByName(rev), max_hamming=0, max_bucket_size=10_000
+    )
     return pairs.filter(F.col("b_id") - F.col("a_id") == 10000)
 
 
