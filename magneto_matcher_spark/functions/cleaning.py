@@ -177,23 +177,49 @@ def clean_element_expr(c: Column) -> Column:
     )
 
 
+#: SQL string-literal form of NULL_REPRESENTATIONS for the selectExpr-built
+#: cleaning projection (no element contains a quote; asserted so an edit
+#: that adds one cannot silently break the generated SQL)
+assert all("'" not in v for v in NULL_REPRESENTATIONS)
+_NULL_IN_LIST = ", ".join(f"'{v}'" for v in NULL_REPRESENTATIONS)
+
+
+def _clean_element_sql(ref: str) -> str:
+    """P7 as ONE SQL string — the selectExpr twin of
+    :func:`clean_element_expr` (same expression tree after parsing; the
+    oracle-checked cleaning queries pin the parity).  Rationale: the
+    Column-builder form issues ~50 py4j round-trips per column (35 of them
+    the NULL_REPRESENTATIONS ``isin`` literals), which costs ~1.5 s of
+    driver time for one 12-string-column ``clean_df`` — per CALL, since
+    expression trees can't be reused across columns.  A parsed SQL string
+    is one py4j call for the whole projection."""
+    return (
+        f"CASE WHEN {ref} IS NULL OR lower(trim({ref})) IN ({_NULL_IN_LIST}) "
+        "THEN NULL ELSE "
+        f"trim(regexp_replace(regexp_replace(lower(regexp_replace(trim({ref}), "
+        "'(?<=[a-z])(?=[A-Z])', ' ')), '[^a-zA-Z0-9\\\\s]', ' '), '\\\\s+', ' ')) "
+        "END"
+    )
+
+
 def clean_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """P8: apply P7 to every string column in one projection. utils.py:125-128.
 
     The reference does this per-cell with ``df.apply``; here it is a single
     codegen'd ``select`` — the largest single speedup of the rewrite
-    (SURVEY.md §4).  Non-string columns pass through untouched.
+    (SURVEY.md §4).  Non-string columns pass through untouched.  Built via
+    ``selectExpr`` (see :func:`_clean_element_sql` for why).
     """
     wanted = set(columns) if columns is not None else None
     exprs = []
     # backtick-quoted resolution: a legal column named 'price.usd' would
     # otherwise be parsed as struct access and fail analysis
     for field in df.schema.fields:
-        ref = F.col("`" + field.name.replace("`", "``") + "`")
+        ref = "`" + field.name.replace("`", "``") + "`"
         if (wanted is None or field.name in wanted) and isinstance(
             field.dataType, T.StringType
         ):
-            exprs.append(clean_element_expr(ref).alias(field.name))
+            exprs.append(f"{_clean_element_sql(ref)} AS {ref}")
         else:
             exprs.append(ref)
-    return df.select(*exprs)
+    return df.selectExpr(*exprs)

@@ -32,7 +32,7 @@ ALL columns, no per-column scans, no collect of data rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,7 +125,7 @@ def profile_rows_multi(
     nonnull = F.col("value").isNotNull()
     parsable = F.expr("try_cast(value as double)").isNotNull()
     dt_parsable = F.expr("try_to_timestamp(value)").isNotNull()
-    percol = counts_all.groupBy(*gc).agg(
+    percol_aggs = [
         F.sum("cnt").alias("n_rows"),
         F.coalesce(F.sum(F.when(nonnull, F.col("cnt"))), F.lit(0)).alias("nn"),
         F.count(F.when(nonnull, F.lit(1))).alias("nd"),
@@ -150,20 +150,76 @@ def profile_rows_multi(
         F.min(
             F.when(nonnull, F.lower(F.trim("value")).isin(BINARY_VALUES)).cast("int")
         ).alias("all_binary_vocab"),
-    )
-    samples_df = samples_from_counts(
-        counts_all.filter(nonnull),
-        n=n_samples,
-        mode=sample_mode,
-        group_cols=tuple(gc),
-    )
-    # spine keeps all-null / empty-table columns present in the output
-    from magneto_matcher_spark.localframe import local_df
+    ]
 
-    spine = local_df(spark, spine_rows, "table_name string, col_name string")
-    merged = (
-        spine.join(percol, gc, "left").join(samples_df, gc, "left").collect()
-    )
+    if sample_mode == "mixed":
+        # Fused single-chain shape (guide §2.4 — operations keyed the same
+        # way share one exchange): re-key the combined counts on (table,
+        # col) ONCE; the sampling windows, the per-column stats aggregation
+        # and the samples aggregation are all (table, col)-clustered, so no
+        # further exchange appears and no subtree is evaluated twice.  The
+        # previous shape ran percol and the sampler as two consumers of
+        # counts_all (separately re-aggregated, 3 exchanges + duplicated
+        # scan→melt→counts subtrees).  The re-keyed exchange carries
+        # distinct-value rows (already map-side combined) — tiny at any
+        # scale.  Null value-groups ride along for the stats aggregates, so
+        # the window orderings pin them LAST (nonnull DESC leads every
+        # ordering) — non-null ranks, and therefore the picked sample set,
+        # are identical to the null-filtered sampler's.
+        n_partitions = spark.sparkContext.defaultParallelism
+        rekeyed = counts_all.repartition(n_partitions, *[F.col(c) for c in gc])
+        by_col = Window.partitionBy(*[F.col(c) for c in gc])
+        n_frequent = n_samples // 2
+        n_diverse = n_samples - n_frequent
+        freq_order = by_col.orderBy(
+            nonnull.desc(), F.col("cnt").desc(), F.col("value")
+        )
+        val_order = by_col.orderBy(nonnull.desc(), F.col("value"))
+        total_unique = F.coalesce(
+            F.sum(F.when(nonnull, F.lit(1))).over(by_col), F.lit(0)
+        )
+        annotated = (
+            rekeyed.withColumn("_total_unique", total_unique)
+            .withColumn("_fr", F.row_number().over(freq_order))
+            .withColumn("_vr", F.row_number().over(val_order))
+        )
+        stride = F.greatest(
+            F.lit(1), F.floor(F.col("_total_unique") / F.lit(n_diverse))
+        )
+        small = F.col("_total_unique") <= n_samples
+        picked = nonnull & (
+            small
+            | (F.col("_fr") <= n_frequent)
+            | (
+                ((F.col("_vr") - 1) % stride == 0)
+                & (((F.col("_vr") - 1) / stride) < n_diverse)
+            )
+        )
+        merged_stats = annotated.groupBy(*gc).agg(
+            *percol_aggs,
+            F.array_sort(
+                F.collect_list(F.when(picked, F.col("value")))
+            ).alias("samples"),
+        )
+        from magneto_matcher_spark.localframe import local_df
+
+        spine = local_df(spark, spine_rows, "table_name string, col_name string")
+        merged = spine.join(merged_stats, gc, "left").collect()
+    else:
+        percol = counts_all.groupBy(*gc).agg(*percol_aggs)
+        samples_df = samples_from_counts(
+            counts_all.filter(nonnull),
+            n=n_samples,
+            mode=sample_mode,
+            group_cols=tuple(gc),
+        )
+        # spine keeps all-null / empty-table columns present in the output
+        from magneto_matcher_spark.localframe import local_df
+
+        spine = local_df(spark, spine_rows, "table_name string, col_name string")
+        merged = (
+            spine.join(percol, gc, "left").join(samples_df, gc, "left").collect()
+        )
     by_key = {(r["table_name"], r["col_name"]): r for r in merged}
 
     out: dict[str, list[tuple]] = {name: [] for _, name in tables}

@@ -82,19 +82,19 @@ def melt(df: DataFrame, columns: list[str] | None = None, col_field: str = "col_
     """Long-format view (col_name, value:string) of a table — the engine's
     replacement for materializing per-column value lists (SURVEY §1.4)."""
     columns = columns or df.columns
-    # backtick-quoted resolution: dotted names must not parse as struct paths
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias(col_field),
-                F.col("`" + c.replace("`", "``") + "`")
-                .cast("string")
-                .alias(value_field),
-            )
-            for c in columns
-        ]
-    )
-    return df.select(F.explode(pairs).alias("kv")).select("kv.*")
+
+    # one selectExpr string instead of ~4 Column-builder py4j round trips per
+    # column (same rationale as cleaning._clean_element_sql: the expression
+    # tree is rebuilt per call, so builder chatter is a per-call driver cost)
+    def entry(c: str) -> str:
+        ref = "`" + c.replace("`", "``") + "`"  # dotted names ≠ struct paths
+        lit = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return (
+            f"struct({lit} AS {col_field}, CAST({ref} AS STRING) AS {value_field})"
+        )
+
+    pairs = "array(" + ", ".join(entry(c) for c in columns) + ")"
+    return df.selectExpr(f"explode({pairs}) AS kv").select("kv.*")
 
 
 def value_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:

@@ -26,9 +26,34 @@ _FP_BASE = 31
 _FP_WINDOW = 8
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster parallelism when the input scan
+    is narrower (guide §2.5 input skew / §6 small files): the test tables are
+    single small parquet files with one row group, so every per-row text
+    kernel otherwise runs on ONE core at any scale factor (measured: the
+    sf1.0-sized quality scan is 3.8 s on the 2-split file vs 1.3 s
+    repartitioned to 32).  At real scale the input already has ≥
+    defaultParallelism splits and this no-ops — no shuffle is added on the
+    100 TB path.  Only worth it above a compute-heavy kernel: the shuffle
+    moves the text bytes once, so cheap aggregations over a narrow scan
+    (e.g. the w4 dedup) should NOT widen (measured slower)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization with empty-token filtering."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_rc_expr(text: Column) -> Column:
+    """Whitespace token count as ONE codegen'd regexp pass —
+    ``regexp_count(text, '\\S+')`` ≡ ``size(tokens_expr(text))`` (tokens are
+    exactly the maximal non-whitespace runs), without materializing the
+    token array."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def token_count_expr(text: Column) -> Column:
@@ -90,27 +115,42 @@ def mean_word_len_expr(text: Column, toks: Column | None = None) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def stopword_count_rc_expr(lowered_text: Column, lang: str) -> Column:
+    """Stopword-hit count as ONE codegen'd regexp pass over the LOWERED text:
+    each stopword counts when it occupies a whole whitespace-delimited token
+    (lookbehind start-or-``\\s``, lookahead ``\\s``-or-end), which is exactly
+    ``size(filter(tokens, t -> t in stopwords))`` — token matches are
+    disjoint, so non-overlapping ``regexp_count`` finds every one.  Replaces
+    an interpreted per-token ``filter``+``array_contains`` pass over a
+    materialized split array."""
+    words = LANG_STOPWORDS[lang]
+    assert all(w.isalpha() for w in words)  # pattern-safety for the join
+    pat = r"(?:(?<=\s)|^)(?:" + "|".join(words) + r")(?:(?=\s)|$)"
+    return F.regexp_count(lowered_text, F.lit(pat))
+
+
 def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
     """Composite document quality in [0,1]: length band + low punctuation +
     healthy stopword ratio + sane mean word length (heuistics in the spirit of
     C4/Gopher-style quality filters, deterministic and SQL-expressible).
 
-    ``toks``: optionally a pre-projected ``tokens_expr(text)`` column.  The
-    naive form re-derives the whitespace split for each component (token
-    count, stopword ratio, mean word length — three regex splits per row,
-    and codegen does not CSE them across the When branches); passing a
-    single materialized token array makes the hot path one split + one
-    regexp_replace per row (measured ~2.5x on the sf0.1 documents scan).
-    Tokenizing lower(text) equals lowering the tokens (whitespace is
-    case-stable), so the stopword component lowers per token."""
-    if toks is None:
-        toks = tokens_expr(text)
-    n = F.size(toks)
+    Physical shape (r06): four codegen'd regexp passes per row — token
+    count (``\\S+`` runs), punctuation count, stopword count, non-whitespace
+    char count (= Σ token lengths, since tokens are the non-whitespace
+    runs) — with NO materialized token array and no interpreted
+    higher-order functions (the previous shape's per-token
+    ``filter``/``aggregate`` lambdas run interpreted outside whole-stage
+    codegen).  Identical integer counts feed identical double arithmetic,
+    so scores are bit-equal to the array form (oracle-pinned).
+
+    ``toks`` is accepted for API compatibility and ignored — the regexp
+    form needs no shared token array."""
+    n = token_count_rc_expr(text)
     len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio_expr(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    sw = stopword_ratio_expr(text, "en", toks=toks)
+    sw = stopword_count_rc_expr(F.lower(text), "en") / n
     sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
-    mwl = mean_word_len_expr(text, toks=toks)
+    mwl = F.length(F.regexp_replace(text, r"\s", "")) / n
     mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return (len_ok + punct_ok + sw_ok + mwl_ok) / 4.0
 
@@ -125,17 +165,17 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     Deterministic tie-break: first language (alphabetical) wins ties with a
     strictly-greater update rule.
 
-    The lowered token array is projected ONCE and every language's hit count
-    filters it — the per-language ``lang_score_expr`` form would re-run the
-    whitespace split len(LANG_STOPWORDS) times per row."""
+    One codegen'd ``regexp_count`` pass per language over the lowered text
+    (see :func:`stopword_count_rc_expr`) — no token array, no interpreted
+    per-token filters; counts are identical to the split-and-filter form."""
     codes = sorted(LANG_STOPWORDS)
-    ltoks = "_lang_id_toks"
-    scored = df.withColumn(ltoks, tokens_expr(F.lower(F.col(text_col))))
+    low = "_lang_id_low"
+    scored = df.withColumn(low, F.lower(F.col(text_col)))
     for code in codes:
         scored = scored.withColumn(
-            f"_s_{code}", stopword_hits_expr(F.col(ltoks), code)
+            f"_s_{code}", stopword_count_rc_expr(F.col(low), code)
         )
-    scored = scored.drop(ltoks)
+    scored = scored.drop(low)
     pick: Column = F.lit("und")
     best_v: Column = F.lit(0)
     for code in codes:

@@ -1463,10 +1463,15 @@ def ann_ivf_full_probe(spark, sf_dir):
     """,
 )
 def text_token_count(spark, sf_dir):
-    from magneto_matcher_spark.operators.textops import token_count_expr
+    from magneto_matcher_spark.operators.textops import (
+        token_count_rc_expr,
+        widen_narrow_scan,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+    docs = widen_narrow_scan(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", token_count_rc_expr(F.col("text")).alias("n_tokens")
+    )
 
 
 @q(
@@ -1495,24 +1500,21 @@ def text_token_count(spark, sf_dir):
 def text_quality_score(spark, sf_dir):
     from magneto_matcher_spark.operators.textops import (
         quality_score_expr,
-        tokens_expr,
+        token_count_rc_expr,
+        widen_narrow_scan,
     )
 
-    # the token array is projected ONCE and shared by the emptiness guard
-    # (tokens_expr, NOT size(split(...)): split of a whitespace-only string
-    # yields [""] (size 1), so that guard never fires — the oracle's
-    # len(toks) > 0 excludes such rows and the Spark side must too) and by
-    # the score — one regex split per row instead of four
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .withColumn("_toks", tokens_expr(F.col("text")))
-        .filter((F.length("text") > 0) & (F.size("_toks") > 0))
+    # widen_narrow_scan: the single-file documents scan would otherwise run
+    # the whole regex kernel on one core (guide §2.5); the emptiness guard
+    # counts \S+ runs (NOT size(split(...)): split of a whitespace-only
+    # string yields [""] (size 1), so that guard never fires — the oracle's
+    # len(toks) > 0 excludes such rows and the Spark side must too)
+    docs = widen_narrow_scan(_t(spark, sf_dir, "documents")).filter(
+        (F.length("text") > 0) & (token_count_rc_expr(F.col("text")) > 0)
     )
     return docs.select(
         "doc_id",
-        F.round(
-            quality_score_expr(F.col("text"), toks=F.col("_toks")), 6
-        ).alias("quality"),
+        F.round(quality_score_expr(F.col("text")), 6).alias("quality"),
     )
 
 
@@ -1542,9 +1544,9 @@ def text_quality_score(spark, sf_dir):
     """,
 )
 def text_lang_id(spark, sf_dir):
-    from magneto_matcher_spark.operators.textops import lang_id
+    from magneto_matcher_spark.operators.textops import lang_id, widen_narrow_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(_t(spark, sf_dir, "documents"))
     return lang_id(docs).select("doc_id", "lang_pred")
 
 
@@ -1565,9 +1567,16 @@ def text_lang_id(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    from magneto_matcher_spark.operators.textops import fingerprint_expr
+    from magneto_matcher_spark.operators.textops import (
+        fingerprint_expr,
+        widen_narrow_scan,
+    )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # per-character HOF arithmetic — the heaviest per-row text kernel; a
+    # one-core narrow scan would serialize it (guide §2.5)
+    docs = widen_narrow_scan(_t(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
     return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
@@ -1751,17 +1760,15 @@ def pipeline_clean_dedup_quality(spark, sf_dir):
     from magneto_matcher_spark.operators.dedup import exact_dedup
     from magneto_matcher_spark.operators.textops import (
         quality_score_expr,
-        tokens_expr,
+        token_count_rc_expr,
+        widen_narrow_scan,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    kept = (
-        docs.withColumn("_toks", tokens_expr(F.col("text")))
-        .withColumn(
-            "quality", quality_score_expr(F.col("text"), toks=F.col("_toks"))
-        )
-        .filter((F.col("quality") >= 0.75) & (F.size("_toks") > 0))
-        .drop("_toks")
+    docs = widen_narrow_scan(_t(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    kept = docs.withColumn("quality", quality_score_expr(F.col("text"))).filter(
+        (F.col("quality") >= 0.75) & (token_count_rc_expr(F.col("text")) > 0)
     )
     deduped = exact_dedup(kept)
     return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
