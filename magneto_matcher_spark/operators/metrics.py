@@ -28,6 +28,15 @@ def mrr(matches: DataFrame, ground_truth: DataFrame, adjusted: bool = True) -> f
     ``adjusted=True`` (benchmark_utils.py:45-72): average over source columns
     that HAVE ground truth; a column with GT but no hit contributes 0.
     ``adjusted=False`` (benchmark_utils.py:27-42): denominator = |GT| pairs.
+
+    Documented divergences from the reference, pinned by the
+    ``metrics_mrr_recall`` oracle (r05 ADVICE item, closed):
+    - adjusted: the reference excludes GT source columns entirely absent
+      from ``matches`` from the denominator; this implementation counts
+      them as 0 contributions (a stricter, monotone-comparable metric).
+    - simple: when one source column has multiple GT targets, the
+      reference sums 1/rank once per (src, tgt) pair; this implementation
+      uses the first (minimum-rank) hit per source column once.
     """
     m = _ensure_rank(matches)
     hits = m.join(ground_truth, ["src_col", "tgt_col"], "left_semi")

@@ -877,9 +877,11 @@ def _footer_stats(
     path: str, lsn_col: str
 ) -> tuple[int, int, int, dict[str, list[int]]] | None:
     """(n_rows, min_lsn, max_lsn, per_file) from the parquet footers of a
-    batch dir, where per_file maps each file's basename to its [lo, hi] LSN
-    span — the per-partition lineage recorded in every snapshot summary
-    (``source.lineage.files``, the BASELINE.json north-star checkbox).
+    batch dir, where per_file maps each file's ``_lineage_keys`` label
+    (basename, parent-prefixed on basename collision — the same keying
+    ``_scan_stats`` uses) to its [lo, hi] LSN span — the per-partition
+    lineage recorded in every snapshot summary (``source.lineage.files``,
+    the BASELINE.json north-star checkbox).
     Returns None when any file lacks column statistics (falls back to a scan).
     """
     import glob as _glob
