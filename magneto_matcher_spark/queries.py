@@ -1500,17 +1500,20 @@ def text_token_count(spark, sf_dir):
 def text_quality_score(spark, sf_dir):
     from magneto_matcher_spark.operators.textops import (
         quality_score_expr,
-        token_count_rc_expr,
         widen_narrow_scan,
     )
 
     # widen_narrow_scan: the single-file documents scan would otherwise run
-    # the whole regex kernel on one core (guide §2.5); the emptiness guard
-    # counts \S+ runs (NOT size(split(...)): split of a whitespace-only
-    # string yields [""] (size 1), so that guard never fires — the oracle's
-    # len(toks) > 0 excludes such rows and the Spark side must too)
+    # the whole regex kernel on one core (guide §2.5).  The emptiness guard
+    # is `rlike '\S'` — find-first, so it short-circuits — which is exactly
+    # `token count > 0` (a token exists ⟺ some non-whitespace char exists);
+    # NOT size(split(...)) > 0: split of a whitespace-only string yields
+    # [""] (size 1), so that guard never fires — the oracle's len(toks) > 0
+    # excludes such rows and the Spark side must too.  Catalyst pushes the
+    # filter below the widening exchange, so its cheapness matters: it runs
+    # on the narrow scan.
     docs = widen_narrow_scan(_t(spark, sf_dir, "documents")).filter(
-        (F.length("text") > 0) & (token_count_rc_expr(F.col("text")) > 0)
+        (F.length("text") > 0) & F.col("text").rlike(r"\S")
     )
     return docs.select(
         "doc_id",
@@ -1760,7 +1763,6 @@ def pipeline_clean_dedup_quality(spark, sf_dir):
     from magneto_matcher_spark.operators.dedup import exact_dedup
     from magneto_matcher_spark.operators.textops import (
         quality_score_expr,
-        token_count_rc_expr,
         widen_narrow_scan,
     )
 
@@ -1768,7 +1770,8 @@ def pipeline_clean_dedup_quality(spark, sf_dir):
         F.length("text") > 0
     )
     kept = docs.withColumn("quality", quality_score_expr(F.col("text"))).filter(
-        (F.col("quality") >= 0.75) & (token_count_rc_expr(F.col("text")) > 0)
+        # rlike '\S' ⟺ token count > 0 (see text_quality_score)
+        (F.col("quality") >= 0.75) & F.col("text").rlike(r"\S")
     )
     deduped = exact_dedup(kept)
     return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
