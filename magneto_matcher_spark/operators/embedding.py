@@ -324,17 +324,34 @@ def knn_topk_ivf(
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
     centroids: np.ndarray | None = None,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate kNN via inverted-file cells: assign every corpus vector to
-    its nearest centroid (one int per row), probe each query's ``n_probe``
-    nearest cells, exact cosine within the probed cells, per-query top-k.
+    its nearest centroid, probe each query's ``n_probe`` nearest cells, exact
+    cosine within the probed cells, per-query top-k.
 
-    Same shuffle budget as ``knn_topk_lsh`` (both sides exchange once on the
-    cell id, corpus fan-out ×1 instead of ×n_tables) but cells are LEARNED,
-    so clustered corpora get higher recall per candidate than data-oblivious
-    hyperplanes.  The centroid matrix is tiny (n_cells × dim) and broadcast;
-    at scale the corpus assignment is computed once and persisted as the
-    index."""
+    Two physical shapes, picked by a bounded probe of the QUERY side (guide
+    §3.1 — broadcast the side that fits, chosen manually because the Python
+    scoring is opaque to Catalyst):
+
+    - **query side ≤ ``max_broadcast_queries``** (the common retrieval
+      shape): the normalized query matrix + per-query probe sets are
+      broadcast and ONE ``mapInPandas`` over the corpus assigns cells,
+      GEMMs each batch against all queries and emits only the
+      probed-cell candidates — the corpus is never shuffled and each
+      corpus vector crosses the Arrow boundary once (the join form
+      duplicated q_vec/c_vec per candidate PAIR and paid a corpus
+      exchange + three separate Python evals).  The only exchange left
+      is the candidate-sized top-k window.
+    - **larger query sides** fall back to the cell-key join (both sides
+      exchange once on the cell id — the shape that needs no driver
+      collect of either side).
+
+    Candidate sets are identical by construction (same centroid math, same
+    argmax/argpartition), and scores follow ``knn_topk``'s exact sequence
+    (normalize each side, float64 GEMM) — the brute-force-oracle-verified
+    arithmetic.  The centroid matrix is tiny (n_cells × dim); at scale the
+    corpus assignment is computed once and persisted as the index."""
     spark = queries.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, vec_col=vec_col)
@@ -352,39 +369,102 @@ def knn_topk_ivf(
             ),
         )
     bc = spark.sparkContext.broadcast(centroids)
-
-    @F.pandas_udf(T.IntegerType())
-    def _cell(vecs: pd.Series) -> pd.Series:
-        cents = bc.value
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return pd.Series(np.argmax((m / norms) @ cents.T, axis=1).astype(np.int32))
-
     probe = min(n_probe, len(centroids))
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _probe_cells(vecs: pd.Series) -> pd.Series:
-        cents = bc.value
-        m = np.array(vecs.tolist(), dtype=np.float64)
+    def _normalized(m: np.ndarray) -> np.ndarray:
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        sims = (m / norms) @ cents.T
-        idx = np.argpartition(-sims, probe - 1, axis=1)[:, :probe].astype(np.int32)
-        return pd.Series([row.tolist() for row in idx])
+        return m / norms
 
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", _cell(F.col("c_vec")))
-    q = queries.select(
-        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("cell", F.explode(_probe_cells(F.col("q_vec"))))
+    q_pdf = queries.select(query_id, vec_col).limit(
+        max_broadcast_queries + 1
+    ).toPandas()
+    if len(q_pdf) <= max_broadcast_queries:
+        if len(q_pdf) == 0:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(query_id, queries.schema[query_id].dataType),
+                        T.StructField(
+                            "neighbor_id", corpus.schema[corpus_id].dataType
+                        ),
+                        T.StructField("score", T.DoubleType()),
+                    ]
+                ),
+            )
+        q_ids = np.array(q_pdf[query_id].tolist())
+        qn = _normalized(np.array(q_pdf[vec_col].tolist(), dtype=np.float64))
+        q_sims = qn @ centroids.T
+        probe_idx = np.argpartition(-q_sims, probe - 1, axis=1)[:, :probe]
+        # (n_cells, n_q) membership: cell c probed by query j
+        member = np.zeros((len(centroids), len(q_ids)), dtype=bool)
+        for j in range(len(q_ids)):
+            member[probe_idx[j], j] = True
+        bq = spark.sparkContext.broadcast((q_ids, qn, member))
 
-    scored = q.join(c, "cell").select(
-        "q_id",
-        "neighbor_id",
-        cosine_pairs_udf()(F.col("q_vec"), F.col("c_vec")).alias("score"),
-    )
+        out_schema = T.StructType(
+            [
+                T.StructField("q_id", queries.schema[query_id].dataType),
+                T.StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+
+        def _score(batches):
+            cents = bc.value
+            ids_q, qmat, memb = bq.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                cn = _normalized(cm)
+                cell = np.argmax(cn @ cents.T, axis=1)
+                sims = cn @ qmat.T  # (batch, n_q)
+                mask = memb[cell]  # (batch, n_q)
+                rows, cols = np.nonzero(mask)
+                c_ids = pdf[corpus_id].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "q_id": ids_q[cols],
+                        "neighbor_id": c_ids[rows],
+                        "score": sims[rows, cols],
+                    }
+                )
+
+        scored = corpus.select(corpus_id, vec_col).mapInPandas(_score, out_schema)
+    else:
+
+        @F.pandas_udf(T.IntegerType())
+        def _cell(vecs: pd.Series) -> pd.Series:
+            cents = bc.value
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            return pd.Series(
+                np.argmax(_normalized(m) @ cents.T, axis=1).astype(np.int32)
+            )
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _probe_cells(vecs: pd.Series) -> pd.Series:
+            cents = bc.value
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            sims = _normalized(m) @ cents.T
+            idx = np.argpartition(-sims, probe - 1, axis=1)[:, :probe].astype(
+                np.int32
+            )
+            return pd.Series([row.tolist() for row in idx])
+
+        c = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).withColumn("cell", _cell(F.col("c_vec")))
+        q = queries.select(
+            F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn("cell", F.explode(_probe_cells(F.col("q_vec"))))
+        scored = q.join(c, "cell").select(
+            "q_id",
+            "neighbor_id",
+            cosine_pairs_udf()(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
