@@ -201,10 +201,11 @@ def profile_rows_multi(
                 F.collect_list(F.when(picked, F.col("value")))
             ).alias("samples"),
         )
-        from magneto_matcher_spark.localframe import local_df
-
-        spine = local_df(spark, spine_rows, "table_name string, col_name string")
-        merged = spine.join(merged_stats, gc, "left").collect()
+        # no spine join needed: every column of a non-empty table has a
+        # counts group (all-null columns melt to a null value-group), so
+        # only empty-table columns are absent — defaulted driver-side below
+        # exactly as the legacy left-join's all-null row was
+        merged = merged_stats.collect()
     else:
         percol = counts_all.groupBy(*gc).agg(*percol_aggs)
         samples_df = samples_from_counts(
@@ -221,11 +222,16 @@ def profile_rows_multi(
             spine.join(percol, gc, "left").join(samples_df, gc, "left").collect()
         )
     by_key = {(r["table_name"], r["col_name"]): r for r in merged}
+    # empty-table columns have no counts group at all (and the fused path
+    # carries no spine): an all-None row reproduces the left-join default
+    import collections
+
+    _absent = collections.defaultdict(lambda: None)
 
     out: dict[str, list[tuple]] = {name: [] for _, name in tables}
     for df, name in tables:
         for c in df.columns:
-            r = by_key[(name, c)]
+            r = by_key.get((name, c), _absent)
             n_rows = r["n_rows"] or 0
             nn = r["nn"] or 0
             nd = r["nd"] or 0
